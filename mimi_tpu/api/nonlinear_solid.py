@@ -1,0 +1,487 @@
+"""`NonlinearSolid`: full system orchestration (Setup) and the dynamic
+operator  M a + S v + E(x) = f  with contact.
+
+Structure parity with the reference session layer
+(/root/reference/src/mimi/py/py_nonlinear_solid.cpp:15-387 Setup,
+src/mimi/operators/nonlinear_solid.cpp operator math), re-architected
+TPU-first:
+
+ - dense batched quadrature tables (fem.space) instead of PrecomputedData;
+ - vmapped element kernels + scatter-add instead of thread-local CSR;
+ - jax.jacfwd element tangents instead of column-wise finite differences;
+ - one dense device matrix + LU solve instead of UMFPACK (for the problem
+   sizes of the reference configs), with matrix-free CG planned for the
+   large-mesh path;
+ - Dirichlet elimination by masking (rows/cols zeroed, unit diagonal).
+
+All device functions are jit-compiled once per setup; step-level
+orchestration (Newton line-search control flow, generalized-alpha algebra)
+stays in Python, dispatching those compiled kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..fem import kernels as K
+from ..fem.space import FESpace
+from ..contact.mortar import MortarContactBlock
+from ..solvers.newton import LineSearchNewton
+from ..solvers import ode as ode_mod
+from .solid import Solid
+
+
+class _DynamicDirichlet:
+    """Constant-velocity dynamic Dirichlet
+    (boundary_conditions.cpp:204-291): at alpha level set aa=0, va=v,
+    xa = x + v dt; restore the saved values after the corrector."""
+
+    def __init__(self, mask, values):
+        self.mask = jnp.asarray(mask)  # (n_dof, dim) bool
+        self.values = jnp.asarray(values)  # (n_dof, dim)
+
+    def apply(self, t, dt, x, v, a, xa, va, aa):
+        m = self.mask
+        val = self.values
+        aa = jnp.where(m, 0.0, aa)
+        va = jnp.where(m, val, va)
+        xa_new = jnp.where(m, x + val * dt, xa)
+        saved = (xa_new, va, aa)
+        return xa_new, va, aa, saved
+
+    def restore(self, x, v, a, saved):
+        m = self.mask
+        sx, sv, sa = saved
+        return (
+            jnp.where(m, sx, x),
+            jnp.where(m, sv, v),
+            jnp.where(m, sa, a),
+        )
+
+
+class _System:
+    """Assembled dynamic system; owned by NonlinearSolid after setup()."""
+
+    def __init__(self, solid: "NonlinearSolid", material, n_threads: int):
+        self.solid = solid
+        self.material = material
+        bc = solid.boundary_condition
+        if bc is None:
+            from .boundary_conditions import BoundaryConditions
+
+            bc = solid.boundary_condition = BoundaryConditions()
+        rc = solid._rc()
+        self.rc = rc
+        patch, topo = solid._patch, solid._topo
+
+        if bc.initial.periodic_boundaries_:
+            raise NotImplementedError(
+                "periodic boundaries are not implemented yet"
+            )
+
+        fes = self.fes = FESpace(patch, topo)
+        dim = self.dim = fes.dim
+        n_dof = self.n_dof = fes.n_dof
+        self.n_vdof = n_dof * dim
+        dtype = config.dtype()
+
+        # ---- fields (internal lexicographic order, (n_dof, dim)) ----
+        self.u = jnp.zeros((n_dof, dim), dtype)
+        self.v = jnp.zeros((n_dof, dim), dtype)
+        self.a = jnp.zeros((n_dof, dim), dtype)
+        self.x_ref = np.asarray(fes.x_ref)
+
+        # ---- dirichlet machinery ----
+        self.zero_mask = fes.boundary_dof_mask(bc.initial.dirichlet_)
+        self.free = jnp.asarray(~self.zero_mask, dtype=dtype)
+        zm_flat = self.zero_mask.ravel()
+        free_flat = ~zm_flat
+        self._free_outer = jnp.asarray(
+            np.outer(free_flat, free_flat), dtype=dtype
+        )
+        self._dir_diag = jnp.asarray(np.diag(zm_flat.astype(float)), dtype)
+
+        # ---- material + domain kernels ----
+        material.setup(dim)
+        q_order = rc.get_int("nonlinear_solid_quadrature_order", -1)
+        tables = self.tables = fes.domain_tables(q_order)
+        self.n_el = tables.conn.shape[0]
+        self.n_quad_total = self.n_el * tables.n_q
+        (
+            self._E_residual,
+            self._E_res_blocks,
+            self._E_accumulate,
+        ) = K.make_domain_kernels(material, tables, n_dof, dim)
+        self.state = (
+            material.init_state((self.n_el, tables.n_q))
+            if material.has_state
+            else None
+        )
+
+        # ---- mass (+ viscosity) ----
+        assert material.density > 0.0
+        # MFEM VectorMassIntegrator default order: 2p + dim*p - 1
+        p_max = max(patch.degrees)
+        mass_tables = fes.domain_tables(2 * p_max + dim * p_max - 1)
+        mass_blocks = K.scalar_blocks_mass(mass_tables, material.density)
+        self._mass_apply = K.make_block_apply(
+            mass_blocks, mass_tables.conn, n_dof, dim
+        )
+        self._mass_dense = jnp.asarray(
+            K.dense_from_scalar_blocks(
+                mass_blocks, mass_tables.conn, n_dof, dim
+            ),
+            dtype,
+        )
+        self.has_viscosity = material.viscosity > 0.0
+        if self.has_viscosity:
+            visc_blocks = K.scalar_blocks_diffusion(
+                mass_tables, material.viscosity
+            )
+            self._visc_apply = K.make_block_apply(
+                visc_blocks, mass_tables.conn, n_dof, dim
+            )
+            self._visc_dense = jnp.asarray(
+                K.dense_from_scalar_blocks(
+                    visc_blocks, mass_tables.conn, n_dof, dim
+                ),
+                dtype,
+            )
+
+        # ---- rhs linear form (body force + traction) ----
+        self.rhs = jnp.asarray(self._assemble_rhs(bc), dtype)
+
+        # ---- contact ----
+        self.contact_blocks = []
+        if bc.current.contact_:
+            b_tables = fes.boundary_tables(
+                rc.get_int("contact_quadrature_order", -1)
+            )
+            for bid, scene in bc.current.contact_.items():
+                marked = np.nonzero(b_tables.attr == bid + 1)[0]
+                blk = MortarContactBlock(
+                    scene,
+                    b_tables,
+                    marked,
+                    self.x_ref,
+                    f"contact{bid}",
+                )
+                self.contact_blocks.append(blk)
+
+        # ---- solvers ----
+        self.newton = LineSearchNewton()
+        self.newton.configure(1e-8, 1e-12, dim * 10, False)
+        self.use_iterative = bool(rc.get_int("use_iterative_solver", 0))
+
+        # ---- ode ----
+        rho_inf = rc.get_real("ode_coefficient", 0.25)
+        self.ode = ode_mod.GeneralizedAlpha2(self, rho_inf)
+        if bc.initial.constant_velocity_:
+            cv_mask = np.zeros((n_dof, dim), dtype=bool)
+            cv_val = np.zeros((n_dof, dim))
+            for bid, dim_vals in bc.initial.constant_velocity_.items():
+                sd = fes.side_dofs(bid)
+                for d, val in dim_vals.items():
+                    cv_mask[sd, d] = True
+                    cv_val[sd, d] = val
+            self.ode.dynamic_dirichlet = _DynamicDirichlet(cv_mask, cv_val)
+
+        self.dt = 0.0
+        self._fac0 = 0.0
+        self._fac1 = 0.0
+        self._build_jit()
+        self._views = {}
+        rc.initialize_time_step()
+
+    # ---------------- assembly of the constant rhs ----------------
+    def _assemble_rhs(self, bc):
+        n_dof, dim = self.n_dof, self.dim
+        rhs = np.zeros((n_dof, dim))
+        rhs_set = False
+        body_force = bc.initial.body_force_
+        if body_force:
+            rhs_set = True
+            t = self.tables
+            # f[n,c] += sum w detJ N_n * bf_c  (VectorDomainLFIntegrator)
+            nodal = np.einsum("eq,eqn->en", t.w_detJ, t.N)
+            acc = np.zeros(n_dof)
+            np.add.at(acc, t.conn, nodal)
+            for c, val in body_force.items():
+                rhs[:, c] += acc * val
+        traction = bc.initial.traction_
+        if traction:
+            rhs_set = True
+            bt = self.fes.boundary_tables(-1)
+            for bid, dim_vals in traction.items():
+                sel = np.nonzero(bt.attr == bid + 1)[0]
+                nodal = np.einsum(
+                    "eq,eq,eqn->en",
+                    bt.wq[sel],
+                    bt.detJ_ref[sel],
+                    bt.N[sel],
+                )
+                acc = np.zeros(n_dof)
+                np.add.at(acc, bt.conn[sel], nodal)
+                for c, val in dim_vals.items():
+                    rhs[:, c] += acc * val
+        if rhs_set:
+            rhs[self.zero_mask] = 0.0
+        self.has_rhs = rhs_set
+        return rhs
+
+    # ---------------- jit-compiled device functions ----------------
+    def _build_jit(self):
+        n_dof, dim = self.n_dof, self.dim
+        contact = self.contact_blocks
+        has_visc = self.has_viscosity
+        mass_apply = self._mass_apply
+        E_res = self._E_residual
+        E_res_blocks = self._E_res_blocks
+        free = self.free
+        free_outer = self._free_outer
+        dir_diag = self._dir_diag
+        conn = jnp.asarray(self.tables.conn)
+        rhs = self.rhs
+
+        def penalties():
+            return [blk.scene.coefficient for blk in contact]
+
+        def newton_residual(aa, xa, va, state, dt, fac0, fac1, cdata, pens):
+            temp_x = xa + fac0 * aa
+            y = mass_apply(aa * free)
+            if has_visc:
+                y = y + self._visc_apply((va + fac1 * aa) * free)
+            y = y + E_res(temp_x, state, dt)
+            auxes = []
+            for blk, data, pen in zip(contact, cdata, pens):
+                r_c, aux = blk.add_residual(temp_x, n_dof, data, pen)
+                y = y + r_c
+                auxes.append(aux)
+            y = (y - rhs) * free
+            return y, auxes
+
+        def newton_res_grad(aa, xa, va, state, dt, fac0, fac1, cdata, pens):
+            temp_x = xa + fac0 * aa
+            y = mass_apply(aa * free)
+            if has_visc:
+                y = y + self._visc_apply((va + fac1 * aa) * free)
+            rE, blocksE = E_res_blocks(temp_x, state, dt)
+            y = y + rE
+            J = self._mass_dense + fac0 * K.scatter_dense_vblocks(
+                blocksE, conn, n_dof, dim
+            )
+            if has_visc:
+                J = J + fac1 * self._visc_dense
+            auxes = []
+            for blk, data, pen in zip(contact, cdata, pens):
+                r_c, blocks_c, aux = blk.add_residual_and_blocks(
+                    temp_x, n_dof, data, pen
+                )
+                y = y + r_c
+                J = J + fac0 * K.scatter_dense_vblocks(
+                    blocks_c, blk.conn_j, n_dof, dim
+                )
+                auxes.append(aux)
+            y = (y - rhs) * free
+            J = J * free_outer + dir_diag
+            return y, J, auxes
+
+        def solve_linear(J, r):
+            return jnp.linalg.solve(J, r.reshape(-1)).reshape(n_dof, dim)
+
+        def explicit_accel(u, v, state, dt, cdata, pens):
+            z = E_res(u, state, dt)
+            if has_visc:
+                z = z + self._visc_apply(v * free)
+            for blk, data, pen in zip(contact, cdata, pens):
+                r_c, _ = blk.add_residual(u, n_dof, data, pen)
+                z = z + r_c
+            z = (rhs - z) * free
+            # a = M^{-1} z on free dofs (reference: CG on the eliminated
+            # mass to rel 1e-8; we solve directly)
+            a = jnp.linalg.solve(
+                self._mass_dense * free_outer + dir_diag, z.reshape(-1)
+            ).reshape(n_dof, dim)
+            return a * free
+
+        self._jit_newton_residual = jax.jit(newton_residual)
+        self._jit_newton_res_grad = jax.jit(newton_res_grad)
+        self._jit_solve_linear = jax.jit(solve_linear)
+        self._jit_explicit_accel = jax.jit(explicit_accel)
+        self._jit_accumulate = jax.jit(self._E_accumulate)
+        self._penalties = penalties
+
+    # ---------------- operator interface for the ODE ----------------
+    def _contact_data(self):
+        return [blk.scene.scene_data() for blk in self.contact_blocks]
+
+    def explicit_accel(self, u, v):
+        cdata = self._contact_data()
+        return self._jit_explicit_accel(
+            u, v, self.state, self.dt, cdata, self._penalties()
+        )
+
+    def implicit_solve(self, fac0, fac1, xa, va, aa):
+        cdata = self._contact_data()
+        pens = self._penalties()
+        state, dt = self.state, self.dt
+        last_aux = {}
+
+        def residual_and_grad(x):
+            r, J, auxes = self._jit_newton_res_grad(
+                x, xa, va, state, dt, fac0, fac1, cdata, pens
+            )
+            last_aux["aux"] = auxes
+            return r, J
+
+        def residual_only(x):
+            r, auxes = self._jit_newton_residual(
+                x, xa, va, state, dt, fac0, fac1, cdata, pens
+            )
+            last_aux["aux"] = auxes
+            return r
+
+        aa = self.newton.solve(
+            aa, residual_and_grad, residual_only, self._jit_solve_linear
+        )
+        if self.contact_blocks and "aux" in last_aux:
+            for blk, aux in zip(self.contact_blocks, last_aux["aux"]):
+                blk.record(aux, self.rc)
+        return aa
+
+    def post_time_advance(self):
+        if self.state is not None:
+            self.state = self._jit_accumulate(self.u, self.state, self.dt)
+        for blk in self.contact_blocks:
+            blk.post_time_advance(self.rc, self._flat_mfem)
+
+    # ---------------- view/order helpers ----------------
+    def _to_mfem(self, arr2d):
+        """(n_dof, dim) lex -> (n_dof, dim) mfem row order."""
+        return np.asarray(arr2d)[self.fes.inv_perm]
+
+    def _from_mfem(self, arr2d):
+        return np.asarray(arr2d)[self.fes.perm_lex_to_mfem]
+
+    def _flat_mfem(self, arr2d):
+        return self._to_mfem(arr2d).ravel()
+
+    def mfem_ordered(self, name):
+        return self._flat_mfem(self._get_field(name))
+
+    def _get_field(self, name):
+        if name == "x":
+            return self.u
+        if name == "x_dot":
+            return self.v
+        if name == "x_ref":
+            return self.x_ref
+        raise KeyError(name)
+
+    def _set_field(self, name, val):
+        if name == "x":
+            self.u = jnp.asarray(val)
+        elif name == "x_dot":
+            self.v = jnp.asarray(val)
+        elif name == "x_ref":
+            self.x_ref = np.asarray(val)
+        else:
+            raise KeyError(name)
+
+    def solution_view(self, fes_name, component_name):
+        key = (fes_name, component_name)
+        if key not in self._views:
+            self._views[key] = self._flat_mfem(
+                self._get_field(component_name)
+            ).copy()
+        return self._views[key]
+
+    def linear_form_view2(self, lf_name):
+        if lf_name != "rhs" or not self.has_rhs:
+            raise KeyError(f"Requested linear form - {lf_name} -")
+        key = ("lf", lf_name)
+        if key not in self._views:
+            self._views[key] = self._flat_mfem(np.asarray(self.rhs)).copy()
+        return self._views[key]
+
+    def _sync_views_in(self):
+        for (kind, name), buf in self._views.items():
+            if kind == "lf":
+                self.rhs = jnp.asarray(
+                    self._from_mfem(buf.reshape(-1, self.dim))
+                )
+            else:
+                self._set_field(
+                    name, self._from_mfem(buf.reshape(-1, self.dim))
+                )
+
+    def _sync_views_out(self):
+        for (kind, name), buf in self._views.items():
+            if kind == "lf":
+                continue
+            buf[:] = self._flat_mfem(self._get_field(name))
+
+    # ---------------- stepping facade ----------------
+    def step_time2(self, t, dt):
+        self._sync_views_in()
+        t_new = self.ode.step_time2(t, dt)
+        self._sync_views_out()
+        return t_new
+
+    def fixed_point_solve2(self, t, dt):
+        self._sync_views_in()
+        self.ode.fixed_point_solve2(t, dt)
+        self._sync_views_out()
+
+    def fixed_point_advance2(self, t, dt):
+        self._sync_views_in()
+        x, v = self.ode.fixed_point_advance2(t, dt)
+        self._fp_x = self._to_mfem(x)
+        self._fp_v = self._to_mfem(v)
+        return self.fixed_point_advanced_vector_views()
+
+    def fixed_point_advanced_vector_views(self):
+        return self._fp_x, self._fp_v
+
+    def advance_time2(self, t, dt):
+        self._sync_views_in()
+        t_new = self.ode.advance_time2(t, dt)
+        self._sync_views_out()
+        return t_new
+
+    # ---------------- config / queries ----------------
+    def configure_newton(self, name, rel_tol, abs_tol, max_iter, it_mode):
+        self.newton.configure(rel_tol, abs_tol, max_iter, it_mode)
+
+    def newton_final_norms(self):
+        return self.newton.final_norms()
+
+    def boundary_dof_ids(self, bid, dim_c):
+        lex = self.fes.side_dofs(bid)
+        vdofs = self.fes.perm_lex_to_mfem[lex] * self.dim + dim_c
+        return np.sort(vdofs)
+
+    def zero_dof_ids(self):
+        lex_dofs, comps = np.nonzero(self.zero_mask)
+        vdofs = self.fes.perm_lex_to_mfem[lex_dofs] * self.dim + comps
+        return np.sort(vdofs)
+
+
+class NonlinearSolid(Solid):
+    """Parity with the reference's `NonlinearSolid` binding
+    (py_nonlinear_solid.cpp:8-13)."""
+
+    def __init__(self):
+        super().__init__()
+        self._material = None
+
+    def set_material(self, material):
+        self._material = material
+
+    def setup(self, nthreads: int = 1) -> None:
+        if self._material is None:
+            raise RuntimeError("set_material() must be called before setup")
+        self._system = _System(self, self._material, max(1, nthreads))

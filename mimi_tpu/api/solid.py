@@ -1,0 +1,187 @@
+"""`Solid`: session object owning mesh, refinement, BCs, solvers and the
+time-stepping driver.  API parity with the reference's `PySolid` bindings
+(/root/reference/src/mimi/py/py_solid.cpp:9-68).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..nurbs.mesh_io import read_mfem_nurbs_mesh, write_mfem_nurbs_mesh
+from ..nurbs.topology import PatchTopology, build_patch_from_mesh
+from .boundary_conditions import BoundaryConditions
+from .runtime_communication import RuntimeCommunication
+
+
+class Solid:
+    def __init__(self):
+        self._mesh = None
+        self._patch = None
+        self._topo = None
+        self.boundary_condition: BoundaryConditions | None = None
+        self.runtime_communication: RuntimeCommunication | None = None
+        self._t = 0.0
+        self._dt = 0.0
+        self._splines = {}
+        # populated by NonlinearSolid.setup()
+        self._system = None
+        self._views = {}
+
+    # ----------------- mesh management -----------------
+    def read_mesh(self, fname: str) -> None:
+        self._mesh = read_mfem_nurbs_mesh(fname)
+        self._patch, self._topo, _ = build_patch_from_mesh(self._mesh)
+
+    def save_mesh(self, fname: str) -> None:
+        perm = self.dof_map_lex_to_mfem()
+        write_mfem_nurbs_mesh(fname, self._mesh, perm, self._patch)
+
+    def _require_mesh(self):
+        if self._patch is None:
+            raise RuntimeError("Mesh not set.")
+        return self._patch
+
+    def mesh_dim(self) -> int:
+        return self._require_mesh().dim
+
+    def mesh_degrees(self) -> list[int]:
+        return list(self._require_mesh().degrees)
+
+    def n_vertices(self) -> int:
+        return self._counts()[0]
+
+    def n_elements(self) -> int:
+        return self._counts()[1]
+
+    def n_boundary_elements(self) -> int:
+        return self._counts()[2]
+
+    def n_subelements(self) -> int:
+        return self._counts()[3]
+
+    def _counts(self):
+        p = self._require_mesh()
+        return PatchTopology.counts(p.n_spans(), p.n_ctrl())
+
+    def elevate_degrees(self, degrees: int, max_degrees: int = 50) -> None:
+        if degrees > 0:
+            self._require_mesh().elevate_degrees(degrees, max_degrees)
+
+    def subdivide(self, n_subdivision: int) -> None:
+        for _ in range(max(0, n_subdivision)):
+            self._require_mesh().uniform_refine()
+
+    # ----------------- dof maps / nurbs export -----------------
+    def dof_map_lex_to_mfem(self) -> np.ndarray:
+        """perm[lex] = mfem dof id for the *current* (refined) patch."""
+        return self._topo.lex_to_mfem(self._patch.n_ctrl())
+
+    def dof_map(self, fe_space: str = "displacement") -> np.ndarray:
+        """NURBSExtension::DofMap parity: identity for non-periodic spaces
+        (py_solid.cpp:320-332 queries the internal dof permutation, which is
+        identity unless boundaries were connected)."""
+        n = self._patch.n_ctrl_total()
+        return np.arange(n, dtype=int)
+
+    def nurbs(self) -> dict:
+        """Degrees / knot vectors / control points / weights in MFEM dof
+        order (parity: py_solid.cpp:237-293)."""
+        p = self._require_mesh()
+        perm = self.dof_map_lex_to_mfem()
+        n = p.n_ctrl_total()
+        inv = np.empty(n, dtype=int)
+        inv[perm] = np.arange(n)
+        return {
+            "degrees": list(p.degrees),
+            "knot_vectors": [list(map(float, kv)) for kv in p.knot_vectors],
+            "control_points": p.control_points[inv].copy(),
+            "weights": p.weights[inv].copy(),
+        }
+
+    def add_spline(self, spline_name: str, spline) -> None:
+        self._splines[spline_name] = spline
+
+    # ----------------- runtime communication -----------------
+    def _rc(self) -> RuntimeCommunication:
+        if self.runtime_communication is None:
+            self.runtime_communication = RuntimeCommunication()
+        return self.runtime_communication
+
+    # ----------------- time stepping facade -----------------
+    @property
+    def current_time(self) -> float:
+        return self._t
+
+    @property
+    def time_step_size(self) -> float:
+        return self._dt
+
+    @time_step_size.setter
+    def time_step_size(self, dt: float) -> None:
+        self._dt = float(dt)
+
+    def _require_system(self):
+        if self._system is None:
+            raise RuntimeError("setup() has not been called.")
+        return self._system
+
+    def setup(self, nthreads: int = 1) -> None:
+        raise NotImplementedError("use NonlinearSolid")
+
+    def configure_newton(
+        self,
+        name: str,
+        rel_tol: float,
+        abs_tol: float,
+        max_iter: int,
+        iterative_mode: bool,
+    ) -> None:
+        self._require_system().configure_newton(
+            name, rel_tol, abs_tol, max_iter, iterative_mode
+        )
+
+    def newton_final_norms(self):
+        return self._require_system().newton_final_norms()
+
+    def solution_view(self, fe_space_name: str, component_name: str):
+        return self._require_system().solution_view(
+            fe_space_name, component_name
+        )
+
+    def linear_form_view2(self, lf_name: str):
+        return self._require_system().linear_form_view2(lf_name)
+
+    def boundary_dof_ids(self, fe_space_name: str, bid: int, dim: int):
+        return self._require_system().boundary_dof_ids(bid, dim)
+
+    def zero_dof_ids(self, fe_space_name: str):
+        return self._require_system().zero_dof_ids()
+
+    def step_time2(self) -> None:
+        sys = self._require_system()
+        self._t = sys.step_time2(self._t, self._dt)
+        rc = self._rc()
+        if rc.should_save("x"):
+            rc.save_dynamic_vector("x_", sys.mfem_ordered("x"))
+        if rc.should_save("v"):
+            rc.save_dynamic_vector("v_", sys.mfem_ordered("x_dot"))
+        rc.next_time_step(self._dt)
+
+    def fixed_point_solve2(self) -> None:
+        self._require_system().fixed_point_solve2(self._t, self._dt)
+
+    def fixed_point_advance2(self):
+        return self._require_system().fixed_point_advance2(self._t, self._dt)
+
+    def fixed_point_advanced_vector_views(self):
+        return self._require_system().fixed_point_advanced_vector_views()
+
+    def advance_time2(self) -> None:
+        sys = self._require_system()
+        self._t = sys.advance_time2(self._t, self._dt)
+        rc = self._rc()
+        if rc.should_save("x"):
+            rc.save_dynamic_vector("x_", sys.mfem_ordered("x"))
+        if rc.should_save("v"):
+            rc.save_dynamic_vector("v_", sys.mfem_ordered("x_dot"))
+        rc.next_time_step(self._dt)

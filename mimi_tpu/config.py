@@ -1,0 +1,29 @@
+"""Global configuration for mimi_tpu.
+
+Precision: the reference solver is float64 throughout (MFEM). For numerical
+parity the default dtype is float64 (requires jax_enable_x64, which we turn
+on at import unless MIMI_TPU_X64=0).  Benchmark paths may run float32 with a
+matched residual tolerance via `set_dtype`.
+"""
+
+from __future__ import annotations
+
+import os
+
+if os.environ.get("MIMI_TPU_X64", "1") != "0":
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+_DTYPE = jnp.float64 if os.environ.get("MIMI_TPU_X64", "1") != "0" else jnp.float32
+
+
+def set_dtype(dtype) -> None:
+    global _DTYPE
+    _DTYPE = dtype
+
+
+def dtype():
+    return _DTYPE

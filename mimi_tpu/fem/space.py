@@ -1,0 +1,311 @@
+"""Finite element space over a NURBS patch: dense batched discretization
+tables for TPU assembly.
+
+Replaces the reference's `PrecomputedData` (element/quad data, sparsity,
+boundary data; /root/reference/src/mimi/utils/precomputed.{hpp,cpp}) with a
+handful of dense numpy arrays — IGA patches have uniform element sizes, so
+the (n_elem, n_quad, n_dof_el) layout has no padding.  Everything here runs
+once at setup in float64 numpy; jit kernels consume the arrays as constants.
+
+Quadrature default order is 2p+3 (precomputed.cpp:284-286); the mass matrix
+uses MFEM's VectorMassIntegrator default order 2p + dim*p - 1 so that
+reference mass matrices are reproduced exactly on affine geometry and
+closely otherwise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..nurbs import knots as kn
+from ..nurbs.patch import NurbsPatch
+from ..nurbs.topology import PatchTopology
+
+
+def gauss_points_for_order(order: int):
+    """MFEM IntRules semantics: rule of given polynomial order uses
+    order//2 + 1 Gauss-Legendre points per dimension."""
+    n = order // 2 + 1
+    x, w = np.polynomial.legendre.leggauss(n)
+    return x, w  # on [-1, 1], weights sum to 2
+
+
+def _dim_tables(kv, p, n_gauss):
+    """Per parametric dimension: spans, local dof start indices, quad
+    params/weights and 1D basis values/derivatives.
+
+    Returns (starts (n_span,), uq (n_span, n_g), wq (n_span, n_g),
+             B (n_span, n_g, p+1), D (n_span, n_g, p+1))
+    """
+    bps = kn.unique_spans(kv, p)
+    n_span = len(bps) - 1
+    xg, wg = np.polynomial.legendre.leggauss(n_gauss)
+    starts = np.zeros(n_span, dtype=int)
+    uq = np.zeros((n_span, n_gauss))
+    wq = np.zeros((n_span, n_gauss))
+    B = np.zeros((n_span, n_gauss, p + 1))
+    D = np.zeros((n_span, n_gauss, p + 1))
+    for s in range(n_span):
+        a, b = bps[s], bps[s + 1]
+        half = 0.5 * (b - a)
+        mid = 0.5 * (a + b)
+        span_idx = kn.find_span(kv, p, mid)
+        starts[s] = span_idx - p
+        for g in range(n_gauss):
+            u = mid + half * xg[g]
+            uq[s, g] = u
+            wq[s, g] = wg[g] * half
+            ders = kn.ders_basis_funs(kv, p, span_idx, u, 1)
+            B[s, g] = ders[0]
+            D[s, g] = ders[1]
+    return starts, uq, wq, B, D
+
+
+def _tensor_basis(tabs, weights_grid):
+    """Tensor-product rational basis over all elements of a patch grid.
+
+    tabs: list over dims of (starts, uq, wq, B, D)
+    weights_grid: control weights, shape (n_0, n_1[, n_2])
+    Returns conn (n_el, n_dof), N (n_el, n_q, n_dof),
+            dN_du (n_el, n_q, n_dof, d), wq (n_el, n_q)
+    with element index lexicographic (dim-0 span fastest) and local dof
+    index lexicographic (dim-0 fastest) — matching the control grid's
+    flattening convention.
+    """
+    d = len(tabs)
+    nc = weights_grid.shape
+    spans = [t[0].shape[0] for t in tabs]
+    n_el = int(np.prod(spans))
+    n_g = [t[1].shape[1] for t in tabs]
+    n_q = int(np.prod(n_g))
+    pp1 = [t[3].shape[2] for t in tabs]
+    n_dof = int(np.prod(pp1))
+
+    conn = np.zeros((n_el, n_dof), dtype=np.int64)
+    N = np.zeros((n_el, n_q, n_dof))
+    dN = np.zeros((n_el, n_q, n_dof, d))
+    WQ = np.zeros((n_el, n_q))
+
+    # iterate elements (python loops over small setup sizes are fine;
+    # vectorize later if setup cost ever matters)
+    el_ranges = [range(s) for s in spans]
+    import itertools
+
+    for e_multi in itertools.product(*reversed(el_ranges)):
+        e_multi = tuple(reversed(e_multi))  # (s0, s1, s2) with s0 fastest
+        e = int(np.ravel_multi_index(e_multi, spans, order="F"))
+        starts = [tabs[k][0][e_multi[k]] for k in range(d)]
+        # local dof -> global dof
+        loc_idx = [np.arange(pp1[k]) + starts[k] for k in range(d)]
+        grids = np.meshgrid(*loc_idx, indexing="ij")
+        gdof = np.zeros_like(grids[0])
+        mult = 1
+        for k in range(d):
+            gdof = gdof + grids[k] * mult
+            mult *= nc[k]
+        conn[e] = gdof.reshape(-1, order="F")
+
+        # weights of local control points
+        w_loc = weights_grid[tuple(np.ix_(*loc_idx))]  # (p0+1, p1+1, ...)
+
+        # quad loop (tensor)
+        q_ranges = [range(g) for g in n_g]
+        for q_multi in itertools.product(*reversed(q_ranges)):
+            q_multi = tuple(reversed(q_multi))
+            q = int(np.ravel_multi_index(q_multi, n_g, order="F"))
+            b1 = [tabs[k][3][e_multi[k], q_multi[k]] for k in range(d)]
+            d1 = [tabs[k][4][e_multi[k], q_multi[k]] for k in range(d)]
+            wq = 1.0
+            for k in range(d):
+                wq *= tabs[k][2][e_multi[k], q_multi[k]]
+            # tensor products
+            Bq = b1[0]
+            for k in range(1, d):
+                Bq = np.multiply.outer(b1[k], Bq)  # index order (k.., .., 0)
+            Bq = np.moveaxis(Bq, range(d), range(d - 1, -1, -1)) if d > 1 else Bq
+            # Bq now indexed (i0, i1, i2) with i0 = dim0
+            Dq = []
+            for der_dim in range(d):
+                t = b1[0] if der_dim != 0 else d1[0]
+                acc = t
+                for k in range(1, d):
+                    tk = b1[k] if der_dim != k else d1[k]
+                    acc = np.multiply.outer(tk, acc)
+                acc = (
+                    np.moveaxis(acc, range(d), range(d - 1, -1, -1))
+                    if d > 1
+                    else acc
+                )
+                Dq.append(acc)
+
+            # rational (NURBS) correction
+            wB = w_loc * Bq
+            W = wB.sum()
+            wD = [w_loc * Dq[k] for k in range(d)]
+            Wd = [wD[k].sum() for k in range(d)]
+            R = wB / W
+            N[e, q] = R.reshape(-1, order="F")
+            for k in range(d):
+                dR = (wD[k] - R * Wd[k]) / W
+                dN[e, q, :, k] = dR.reshape(-1, order="F")
+            WQ[e, q] = wq
+    return conn, N, dN, WQ
+
+
+@dataclass
+class DomainTables:
+    conn: np.ndarray  # (n_el, n_dof_el) global scalar dofs
+    N: np.ndarray  # (n_el, n_q, n_dof_el)
+    dN_dX: np.ndarray  # (n_el, n_q, n_dof_el, dim)
+    w_detJ: np.ndarray  # (n_el, n_q)  quad weight * |dX/du|
+    n_q: int = 0
+
+
+@dataclass
+class BoundaryTables:
+    conn: np.ndarray  # (n_bel, n_dof_b)
+    N: np.ndarray  # (n_bel, n_q, n_dof_b)
+    dN_dxi: np.ndarray  # (n_bel, n_q, n_dof_b, dim-1)
+    wq: np.ndarray  # (n_bel, n_q) parametric quad weights
+    detJ_ref: np.ndarray  # (n_bel, n_q) reference-config surface jacobian
+    attr: np.ndarray  # (n_bel,) boundary attribute (1-based, as in file)
+
+
+class FESpace:
+    """Vector-valued NURBS FE space (byVDIM) over a single patch."""
+
+    def __init__(self, patch: NurbsPatch, topo: PatchTopology):
+        self.patch = patch
+        self.topo = topo
+        self.dim = patch.dim
+        self.para_dim = patch.para_dim
+        self.n_ctrl = patch.n_ctrl()
+        self.n_dof = patch.n_ctrl_total()  # scalar dofs
+        self.n_vdof = self.n_dof * self.dim
+        self.x_ref = patch.control_points.copy()  # (n_dof, dim) lex order
+        self.weights_grid = self._grid(patch.weights)
+        self.perm_lex_to_mfem = topo.lex_to_mfem(self.n_ctrl)
+        self.inv_perm = np.empty_like(self.perm_lex_to_mfem)
+        self.inv_perm[self.perm_lex_to_mfem] = np.arange(self.n_dof)
+        self.sides = topo.boundary_sides(self.n_ctrl)
+        self.max_bdr_attr = max(s[0] for s in self.sides)
+
+    def _grid(self, flat):
+        nc = self.n_ctrl
+        d = self.para_dim
+        return np.asarray(flat).reshape(*nc[::-1]).transpose(
+            *range(d - 1, -1, -1)
+        )
+
+    # ---------- domain tables ----------
+    def domain_tables(self, quadrature_order: int = -1) -> DomainTables:
+        p = self.patch
+        tabs = []
+        for k in range(self.para_dim):
+            order = (
+                quadrature_order
+                if quadrature_order >= 0
+                else 2 * p.degrees[k] + 3
+            )
+            n_g = order // 2 + 1
+            tabs.append(_dim_tables(p.knot_vectors[k], p.degrees[k], n_g))
+        conn, N, dN_du, wq = _tensor_basis(tabs, self.weights_grid)
+        # geometry jacobian dX/du and physical derivatives
+        n_el, n_q, n_dof = N.shape
+        d = self.para_dim
+        x = self.x_ref[conn]  # (n_el, n_dof, dim)
+        J = np.einsum("end,eqnk->eqdk", x, dN_du)  # dX_d/du_k
+        detJ = np.linalg.det(J)
+        Jinv = np.linalg.inv(J)  # du/dX
+        dN_dX = np.einsum("eqnk,eqkd->eqnd", dN_du, Jinv)
+        return DomainTables(
+            conn=conn, N=N, dN_dX=dN_dX, w_detJ=wq * detJ, n_q=n_q
+        )
+
+    # ---------- boundary tables ----------
+    def boundary_tables(self, quadrature_order: int = -1) -> BoundaryTables:
+        """All boundary (side) elements, grouped side-by-side in the order
+        the sides appear in the mesh file; within a side, elements are
+        lexicographic over the tangent span grid."""
+        p = self.patch
+        d = self.para_dim
+        conn_l, N_l, dN_l, wq_l, detJ_l, attr_l = [], [], [], [], [], []
+        for attr, axis, end in self.sides:
+            t_dims = [k for k in range(d) if k != axis]
+            tabs = []
+            for k in t_dims:
+                order = (
+                    quadrature_order
+                    if quadrature_order >= 0
+                    else 2 * p.degrees[k] + 3
+                )
+                n_g = order // 2 + 1
+                tabs.append(
+                    _dim_tables(p.knot_vectors[k], p.degrees[k], n_g)
+                )
+            # face control net (weights + global dof index grid)
+            nc = self.n_ctrl
+            sel = [slice(None)] * d
+            sel[axis] = 0 if end == 0 else nc[axis] - 1
+            w_face = self.weights_grid[tuple(sel)]
+            # global dof of grid point
+            dof_grid = np.arange(self.n_dof).reshape(
+                *nc[::-1]
+            ).transpose(*range(d - 1, -1, -1))
+            dof_face = dof_grid[tuple(sel)]
+            connf, Nf, dNf, wqf = _tensor_basis(tabs, w_face)
+            # map face-local dof index -> global via dof_face flat (lex)
+            face_flat = dof_face.reshape(-1, order="F")
+            conn_g = face_flat[connf]
+            # reference surface jacobian
+            xf = self.x_ref[conn_g]  # (n_bel, n_dof_b, dim)
+            Jf = np.einsum("end,eqnk->eqdk", xf, dNf)  # (.., dim, d-1)
+            if d == 2:
+                detJ = np.linalg.norm(Jf[..., 0], axis=-1)
+            else:
+                cr = np.cross(Jf[..., 0], Jf[..., 1])
+                detJ = np.linalg.norm(cr, axis=-1)
+            conn_l.append(conn_g)
+            N_l.append(Nf)
+            dN_l.append(dNf)
+            wq_l.append(wqf)
+            detJ_l.append(detJ)
+            attr_l.append(np.full(len(conn_g), attr, dtype=np.int64))
+        return BoundaryTables(
+            conn=np.concatenate(conn_l),
+            N=np.concatenate(N_l),
+            dN_dxi=np.concatenate(dN_l),
+            wq=np.concatenate(wq_l),
+            detJ_ref=np.concatenate(detJ_l),
+            attr=np.concatenate(attr_l),
+        )
+
+    # ---------- boundary dofs ----------
+    def side_dofs(self, bid: int) -> np.ndarray:
+        """Scalar (lex) dofs on boundary attribute bid+1 (0-based bid, parity
+        with the reference's marker indexing, py_solid.cpp:184-235)."""
+        nc = self.n_ctrl
+        d = self.para_dim
+        found = [s for s in self.sides if s[0] == bid + 1]
+        if not found:
+            return np.zeros(0, dtype=np.int64)
+        dofs = []
+        dof_grid = np.arange(self.n_dof).reshape(*nc[::-1]).transpose(
+            *range(d - 1, -1, -1)
+        )
+        for attr, axis, end in found:
+            sel = [slice(None)] * d
+            sel[axis] = 0 if end == 0 else nc[axis] - 1
+            dofs.append(dof_grid[tuple(sel)].ravel())
+        return np.unique(np.concatenate(dofs))
+
+    def boundary_dof_mask(self, dirichlet: dict[int, set]) -> np.ndarray:
+        """(n_dof, dim) bool mask of essential dofs."""
+        mask = np.zeros((self.n_dof, self.dim), dtype=bool)
+        for bid, dims in dirichlet.items():
+            sd = self.side_dofs(bid)
+            for c in dims:
+                mask[sd, c] = True
+        return mask

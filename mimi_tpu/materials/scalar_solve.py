@@ -1,0 +1,117 @@
+"""Safeguarded Newton-bisection scalar root solver (jittable, vmappable).
+
+Math parity with the reference's `ScalarSolve`
+(/root/reference/src/mimi/solvers/newton.hpp:53-169): same bracket
+orientation, Newton/bisection switching rule and convergence criteria,
+expressed as a lax.while_loop so it vectorizes over quadrature points.
+
+Differentiation: the radial-return increment is needed inside jacfwd-based
+element tangents, but while_loop is not forward-differentiable, so the
+solver carries a custom JVP via the implicit function theorem:
+   r(x*, theta) = 0  =>  dx* = -(dr/dtheta . dtheta) / (dr/dx).
+(The reference instead sees this derivative through its forward-difference
+element tangent; both converge to the same Newton fixed point.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def make_scalar_solver(residual_fn, xtol, rtol_factor, max_iter=100):
+    """residual_fn(x, *theta) -> residual value (differentiable).
+
+    rtol is per-call: rtol = rtol_factor placeholder — callers pass rtol as
+    first element of theta?  Simpler: rtol passed explicitly at call time.
+    Returns solve(x0, lo, hi, rtol, theta) with implicit-diff JVP in theta.
+    """
+    val_grad = jax.value_and_grad(residual_fn, argnums=0)
+
+    def _solve_raw(x0, lo, hi, rtol, theta):
+        f_lo, _ = val_grad(lo, *theta)
+        f_hi, _ = val_grad(hi, *theta)
+
+        # orient search so that f(xl) < 0
+        swap = f_lo > 0.0
+        xl = jnp.where(swap, hi, lo)
+        xh = jnp.where(swap, lo, hi)
+
+        x_init = jnp.where((x0 < lo) | (x0 > hi), 0.5 * (lo + hi), x0)
+        delta0 = jnp.abs(hi - lo)
+        f0, df0 = val_grad(x_init, *theta)
+
+        def cond(state):
+            x, dx, dxo, f, df, xl_, xh_, it, conv = state
+            return (~conv) & (it < max_iter)
+
+        def body(state):
+            x, dx, dxo, f, df, xl_, xh_, it, conv = state
+            use_bisect = (
+                (((x - xh_) * df - f) > 0.0)
+                | (((x - xl_) * df - f) < 0.0)
+                | (jnp.abs(2.0 * f) > jnp.abs(dxo * df))
+            )
+            dxo_new = dx
+            dx_bis = 0.5 * (xh_ - xl_)
+            x_bis = xl_ + dx_bis
+            dx_newt = f / df
+            x_newt = x - dx_newt
+            dx_new = jnp.where(use_bisect, dx_bis, dx_newt)
+            x_new = jnp.where(use_bisect, x_bis, x_newt)
+            f_new, df_new = val_grad(x_new, *theta)
+            conv_new = (jnp.abs(dx_new) < xtol) | (jnp.abs(f_new) < rtol)
+            xl_new = jnp.where(f_new < 0.0, x_new, xl_)
+            xh_new = jnp.where(f_new < 0.0, xh_, x_new)
+            return (
+                x_new,
+                dx_new,
+                dxo_new,
+                f_new,
+                df_new,
+                xl_new,
+                xh_new,
+                it + 1,
+                conv_new,
+            )
+
+        state = (
+            x_init,
+            delta0,
+            delta0,
+            f0,
+            df0,
+            xl,
+            xh,
+            jnp.array(0),
+            jnp.array(False),
+        )
+        x_sol = jax.lax.while_loop(cond, body, state)[0]
+
+        # corner cases: a bracket endpoint is already the root
+        x_sol = jnp.where(jnp.abs(f_hi) < xtol, hi, x_sol)
+        x_sol = jnp.where(jnp.abs(f_lo) < xtol, lo, x_sol)
+        return x_sol
+
+    @jax.custom_jvp
+    def solve(x0, lo, hi, rtol, theta):
+        return _solve_raw(x0, lo, hi, rtol, theta)
+
+    @solve.defjvp
+    def solve_jvp(primals, tangents):
+        x0, lo, hi, rtol, theta = primals
+        _, dlo, dhi, _, dtheta = tangents
+        x_star = solve(x0, lo, hi, rtol, theta)
+        # implicit diff: dr/dx * dx + dr/dtheta . dtheta = 0
+        _, df_dx = jax.value_and_grad(residual_fn, argnums=0)(
+            x_star, *theta
+        )
+        # JVP of residual in theta directions at fixed x
+        r_theta = lambda th: residual_fn(x_star, *th)
+        _, dr = jax.jvp(r_theta, (theta,), (dtheta,))
+        dx_star = -dr / df_dx
+        return x_star, dx_star
+
+    return solve

@@ -244,12 +244,13 @@ class _System:
         free_outer = self._free_outer
         dir_diag = self._dir_diag
         conn = jnp.asarray(self.tables.conn)
-        rhs = self.rhs
 
         def penalties():
             return [blk.scene.coefficient for blk in contact]
 
-        def newton_residual(aa, xa, va, state, dt, fac0, fac1, cdata, pens):
+        def newton_residual(
+            aa, xa, va, state, dt, fac0, fac1, cdata, pens, rhs
+        ):
             temp_x = xa + fac0 * aa
             y = mass_apply(aa * free)
             if has_visc:
@@ -263,7 +264,9 @@ class _System:
             y = (y - rhs) * free
             return y, auxes
 
-        def newton_res_grad(aa, xa, va, state, dt, fac0, fac1, cdata, pens):
+        def newton_res_grad(
+            aa, xa, va, state, dt, fac0, fac1, cdata, pens, rhs
+        ):
             temp_x = xa + fac0 * aa
             y = mass_apply(aa * free)
             if has_visc:
@@ -292,7 +295,7 @@ class _System:
         def solve_linear(J, r):
             return jnp.linalg.solve(J, r.reshape(-1)).reshape(n_dof, dim)
 
-        def explicit_accel(u, v, state, dt, cdata, pens):
+        def explicit_accel(u, v, state, dt, cdata, pens, rhs):
             z = E_res(u, state, dt)
             if has_visc:
                 z = z + self._visc_apply(v * free)
@@ -300,10 +303,20 @@ class _System:
                 r_c, _ = blk.add_residual(u, n_dof, data, pen)
                 z = z + r_c
             z = (rhs - z) * free
-            # a = M^{-1} z on free dofs (reference: CG on the eliminated
-            # mass to rel 1e-8; we solve directly)
-            a = jnp.linalg.solve(
-                self._mass_dense * free_outer + dir_diag, z.reshape(-1)
+            # a = M^{-1} z via Jacobi-PCG with mfem's stopping semantics
+            # (nonlinear_solid.cpp:39-50: CG + DSmoother, rel 1e-8,
+            # abs 1e-12, maxit 1000) — iterating like the reference keeps
+            # the discrete trajectory maximally close to its goldens.
+            from ..solvers.pcg import jacobi_pcg
+
+            M_elim = self._mass_dense * free_outer + dir_diag
+            a = jacobi_pcg(
+                lambda p_: M_elim @ p_,
+                jnp.diagonal(M_elim),
+                z.reshape(-1),
+                rel_tol=1e-8,
+                abs_tol=1e-12,
+                max_iter=1000,
             ).reshape(n_dof, dim)
             return a * free
 
@@ -321,7 +334,7 @@ class _System:
     def explicit_accel(self, u, v):
         cdata = self._contact_data()
         return self._jit_explicit_accel(
-            u, v, self.state, self.dt, cdata, self._penalties()
+            u, v, self.state, self.dt, cdata, self._penalties(), self.rhs
         )
 
     def implicit_solve(self, fac0, fac1, xa, va, aa):
@@ -332,14 +345,14 @@ class _System:
 
         def residual_and_grad(x):
             r, J, auxes = self._jit_newton_res_grad(
-                x, xa, va, state, dt, fac0, fac1, cdata, pens
+                x, xa, va, state, dt, fac0, fac1, cdata, pens, self.rhs
             )
             last_aux["aux"] = auxes
             return r, J
 
         def residual_only(x):
             r, auxes = self._jit_newton_residual(
-                x, xa, va, state, dt, fac0, fac1, cdata, pens
+                x, xa, va, state, dt, fac0, fac1, cdata, pens, self.rhs
             )
             last_aux["aux"] = auxes
             return r

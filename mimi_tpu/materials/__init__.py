@@ -286,10 +286,12 @@ class J2Simo(_J2ThermoBase):
 
     def _trial(self, F, state):
         d = F.shape[-1]
-        # f = F F_old^{-1};  f_bar = f det(f)^{-1/3}
+        # f = F F_old^{-1};  f_bar = f * cbrt(det f)  — exactly as the
+        # reference computes it (materials.hpp:484-486: CalcInverse then
+        # `f_bar *= cbrt(f_bar.Det())`)
         f_inv = state["F_old"] @ jnp.linalg.inv(F)
         f_bar = jnp.linalg.inv(f_inv)
-        f_bar = f_bar * jnp.cbrt(jnp.linalg.det(f_inv))
+        f_bar = f_bar * jnp.cbrt(jnp.linalg.det(f_bar))
         be = f_bar @ state["be_old"] @ f_bar.T
         s = dev(be, self.G)
         s_norm = fro_norm(s)

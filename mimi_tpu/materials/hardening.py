@@ -50,9 +50,10 @@ class Hardening:
 
 class PowerLawHardening(Hardening):
     def __init__(self):
-        self.sigma_y = -1.0
-        self.n = -1.0
-        self.eps0 = -1.0
+        # zero-initialized like the reference's value-initialized members
+        self.sigma_y = 0.0
+        self.n = 0.0
+        self.eps0 = 0.0
 
     def evaluate(self, eqps):
         return self.sigma_y * (1.0 + eqps / self.eps0) ** (1.0 / self.n)
@@ -63,9 +64,9 @@ class PowerLawHardening(Hardening):
 
 class VoceHardening(Hardening):
     def __init__(self):
-        self.sigma_y = -1.0
-        self.sigma_sat = -1.0
-        self.strain_constant = -1.0
+        self.sigma_y = 0.0
+        self.sigma_sat = 0.0
+        self.strain_constant = 0.0
 
     def evaluate(self, eqps):
         return self.sigma_sat - (self.sigma_sat - self.sigma_y) * jnp.exp(
@@ -78,9 +79,9 @@ class VoceHardening(Hardening):
 
 class JohnsonCookHardening(Hardening):
     def __init__(self):
-        self.A = -1.0
-        self.B = -1.0
-        self.n = -1.0
+        self.A = 0.0
+        self.B = 0.0
+        self.n = 0.0
 
     def evaluate(self, eqps):
         # guard: A for |eqps| < 1e-13 (material_hardening.hpp JC::Evaluate),
@@ -96,8 +97,8 @@ class JohnsonCookHardening(Hardening):
 class JohnsonCookRateDependentHardening(JohnsonCookHardening):
     def __init__(self):
         super().__init__()
-        self.C = -1.0
-        self.eps0_dot = -1.0  # effective_plastic_strain_rate_
+        self.C = 0.0
+        self.eps0_dot = 0.0  # effective_plastic_strain_rate_
 
     def is_rate_dependent(self):
         return True
@@ -115,9 +116,9 @@ class JohnsonCookTemperatureAndRateDependentHardening(
 ):
     def __init__(self):
         super().__init__()
-        self.reference_temperature = -1.0
-        self.melting_temperature = -1.0
-        self.m = -1.0
+        self.reference_temperature = 0.0
+        self.melting_temperature = 0.0
+        self.m = 0.0
 
     def is_temperature_dependent(self):
         return True

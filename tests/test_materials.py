@@ -1,0 +1,284 @@
+"""Pointwise material parity tests: each model's stress and state update is
+checked against an independent numpy transcription of the reference
+algorithms (/root/reference/src/mimi/materials/materials.hpp), and AD
+tangents are checked against finite differences."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mimi_tpu as mimi
+
+
+def _jc_material(cls):
+    mat = cls()
+    mat.density = 1
+    mat.viscosity = -1
+    mat.melting_temperature = 1500
+    mat.initial_temperature = 20
+    mat.specific_heat = 450
+    mat.heat_fraction = 0.9
+    mat.set_young_poisson(2100, 0.3)
+    h = mimi.JohnsonCookTemperatureAndRateDependentHardening()
+    h.A = 70
+    h.B = 140
+    h.n = 0.2835
+    h.m = 1.3558
+    h.eps0_dot = 0.004
+    h.reference_temperature = 20
+    mat.hardening = h
+    mat.setup(2)
+    return mat
+
+
+def _rand_F(rng, scale=0.1):
+    return np.eye(2) + scale * rng.standard_normal((2, 2))
+
+
+def test_elastic_constants():
+    m = mimi.Material()
+    m.set_young_poisson(2100, 0.3)
+    assert np.isclose(m.lambda_, 2100 * 0.3 / (1.3 * 0.4))
+    assert np.isclose(m.mu, 2100 / 2.6)
+    assert np.isclose(m.K, 2100 / (3 * 0.4))
+    m2 = mimi.Material()
+    m2.set_lame(m.lambda_, m.mu)
+    assert np.isclose(m2.young, 2100)
+    assert np.isclose(m2.poisson, 0.3)
+
+
+def test_stvk_pk1():
+    mat = mimi.StVenantKirchhoff()
+    mat.set_young_poisson(2100, 0.3)
+    mat.setup(2)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        F = _rand_F(rng)
+        I = np.eye(2)
+        E = 0.5 * (F.T @ F - I)
+        S = mat.lambda_ * np.trace(E) * I + 2 * mat.mu * E
+        P_ref = F @ S
+        P = np.asarray(mat.pk1(jnp.asarray(F), None, 0.1))
+        assert np.allclose(P, P_ref, atol=1e-12)
+
+
+def test_neohookean_pk1():
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.set_young_poisson(2100, 0.3)
+    mat.setup(2)
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        F = _rand_F(rng)
+        I = np.eye(2)
+        J = np.linalg.det(F)
+        B = F @ F.T
+        sigma = mat.mu / J * (B - I) + mat.lambda_ * (J - 1) * I
+        P_ref = J * sigma @ np.linalg.inv(F).T
+        P = np.asarray(mat.pk1(jnp.asarray(F), None, 0.1))
+        assert np.allclose(P, P_ref, atol=1e-10)
+
+
+def _bisect_root(residual, lo, hi, n=200):
+    for _ in range(n):
+        mid = 0.5 * (lo + hi)
+        if residual(mid) > 0:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def _jc_eval(h, e):
+    if abs(e) < 1e-13:
+        return h.A
+    return h.A + h.B * e**h.n
+
+
+def test_j2_pointwise():
+    mat = _jc_material(mimi.J2)
+    h = mat.hardening
+    rng = np.random.default_rng(2)
+    G, K = mat.G, mat.K
+    n_plastic = 0
+    for _ in range(8):
+        F = _rand_F(rng)
+        eps_p = 0.02 * rng.standard_normal((2, 2))
+        eps_p = 0.5 * (eps_p + eps_p.T)
+        eps_p -= np.trace(eps_p) / 2 * np.eye(2)
+        eqps = abs(0.05 * rng.standard_normal())
+        state = {
+            "plastic_strain": jnp.asarray(eps_p),
+            "eqps": jnp.asarray(eqps),
+            "temperature": jnp.asarray(20.0),
+        }
+        # reference math
+        eps = 0.5 * (F + F.T) - np.eye(2) - eps_p
+        p = K * np.trace(eps)
+        s = 2 * G * (eps - np.trace(eps) / 2 * np.eye(2))
+        q = np.sqrt(1.5) * np.linalg.norm(s)
+
+        def residual(d):
+            return q - 3 * G * d - _jc_eval(h, eqps + d)
+
+        delta = 0.0
+        if residual(0.0) > h.A * 1e-10:
+            n_plastic += 1
+            delta = _bisect_root(
+                residual, 0.0, (q - _jc_eval(h, eqps)) / (3 * G)
+            )
+            N_p = 1.5 / q * s
+            s = s - 2 * G * delta * N_p
+        sigma = s + p * np.eye(2)
+        P_ref = np.linalg.det(F) * sigma @ np.linalg.inv(F).T
+        P = np.asarray(mat.pk1(jnp.asarray(F), state, 0.5))
+        assert np.allclose(P, P_ref, atol=1e-6 * max(1.0, np.abs(P_ref).max()))
+    assert n_plastic > 0  # make sure the plastic branch was exercised
+
+
+def test_j2_tangent_vs_fd():
+    mat = _jc_material(mimi.J2)
+    rng = np.random.default_rng(1)
+    F = _rand_F(rng)
+    state = {
+        "plastic_strain": jnp.zeros((2, 2)),
+        "eqps": jnp.asarray(0.0),
+        "temperature": jnp.asarray(20.0),
+    }
+    f = lambda Fx: mat.pk1(Fx, state, 0.5)
+    Jad = np.asarray(jax.jacfwd(f)(jnp.asarray(F)))
+    eps = 1e-7
+    P0 = np.asarray(f(jnp.asarray(F)))
+    Jfd = np.zeros((2, 2, 2, 2))
+    for i in range(2):
+        for j in range(2):
+            Fp = F.copy()
+            Fp[i, j] += eps
+            Jfd[:, :, i, j] = (np.asarray(f(jnp.asarray(Fp))) - P0) / eps
+    scale = np.abs(Jfd).max()
+    assert np.abs(Jad - Jfd).max() < 1e-4 * scale
+
+
+def test_j2_log_pointwise():
+    mat = _jc_material(mimi.J2Log)
+    h = mat.hardening
+    G, K = mat.G, mat.K
+    rng = np.random.default_rng(3)
+    n_plastic = 0
+    for _ in range(8):
+        F = _rand_F(rng, 0.12)
+        A = 0.03 * rng.standard_normal((2, 2))
+        A = 0.5 * (A + A.T)
+        A -= np.trace(A) / 2 * np.eye(2)
+        la, Qa = np.linalg.eigh(A)
+        Fp_inv = (Qa * np.exp(la)) @ Qa.T
+        eqps = abs(0.05 * rng.standard_normal())
+        state = {
+            "Fp_inv": jnp.asarray(Fp_inv),
+            "eqps": jnp.asarray(eqps),
+            "temperature": jnp.asarray(20.0),
+        }
+        F_e = F @ Fp_inv
+        lam, Q = np.linalg.eigh(F_e.T @ F_e)
+        E_e = 0.5 * (Q * np.log(lam)) @ Q.T
+        p = K * np.trace(E_e)
+        s = 2 * G * (E_e - np.trace(E_e) / 2 * np.eye(2))
+        q = np.sqrt(1.5) * np.linalg.norm(s)
+
+        def residual(d):
+            return q - 3 * G * d - _jc_eval(h, eqps + d)
+
+        delta = 0.0
+        if residual(0.0) > h.A * 1e-10:
+            n_plastic += 1
+            delta = _bisect_root(
+                residual, 0.0, (q - _jc_eval(h, eqps)) / (3 * G)
+            )
+            N_p = 1.5 / q * s
+            s = s - 2 * G * delta * N_p
+        J = np.linalg.det(F)
+        # reference call-chain stress (see J2Log docstring)
+        P_ref = J * (s + p / J * np.eye(2)) @ np.linalg.inv(F).T
+        P = np.asarray(mat.pk1(jnp.asarray(F), state, 0.5))
+        assert np.allclose(
+            P, P_ref, atol=1e-6 * max(1.0, np.abs(P_ref).max())
+        )
+    assert n_plastic > 0
+
+
+def test_hardening_laws():
+    h = mimi.PowerLawHardening()
+    h.sigma_y = 100.0
+    h.n = 2.0
+    h.eps0 = 0.1
+    assert np.isclose(
+        float(h.evaluate(jnp.asarray(0.05))), 100 * 1.5**0.5
+    )
+
+    v = mimi.VoceHardening()
+    v.sigma_y = 100.0
+    v.sigma_sat = 200.0
+    v.strain_constant = 0.1
+    assert np.isclose(
+        float(v.evaluate(jnp.asarray(0.1))), 200 - 100 * np.exp(-1.0)
+    )
+
+    jc = mimi.JohnsonCookHardening()
+    jc.A, jc.B, jc.n = 70.0, 140.0, 0.3
+    assert float(jc.evaluate(jnp.asarray(0.0))) == 70.0
+    assert np.isclose(
+        float(jc.evaluate(jnp.asarray(0.2))), 70 + 140 * 0.2**0.3
+    )
+    # gradient is finite at zero (guarded)
+    g = float(jax.grad(lambda e: jc.evaluate(e))(jnp.asarray(0.0)))
+    assert np.isfinite(g)
+
+    jr = mimi.JohnsonCookRateDependentHardening()
+    jr.A, jr.B, jr.n, jr.C, jr.eps0_dot = 70.0, 140.0, 0.3, 0.05, 0.004
+    assert float(jr.rate_contribution(jnp.asarray(0.001))) == 1.0
+    assert np.isclose(
+        float(jr.rate_contribution(jnp.asarray(0.04))),
+        1 + 0.05 * np.log(10.0),
+    )
+
+    jt = mimi.JohnsonCookTemperatureAndRateDependentHardening()
+    jt.A, jt.B, jt.n, jt.m = 70.0, 140.0, 0.3, 1.0
+    jt.reference_temperature = 20.0
+    jt.melting_temperature = 1020.0
+    assert float(jt.thermo_contribution(jnp.asarray(10.0))) == 1.0
+    assert float(jt.thermo_contribution(jnp.asarray(2000.0))) == 0.0
+    assert np.isclose(
+        float(jt.thermo_contribution(jnp.asarray(520.0))), 0.5
+    )
+
+
+def test_j2_linear_radial_return():
+    mat = mimi.J2Linear()
+    mat.set_young_poisson(2100, 0.3)
+    mat.sigma_y = 10.0
+    mat.isotropic_hardening = 50.0
+    mat.kinematic_hardening = 30.0
+    mat.setup(2)
+    rng = np.random.default_rng(4)
+    F = _rand_F(rng, 0.05)
+    state = {
+        "plastic_strain": jnp.zeros((2, 2)),
+        "beta": jnp.zeros((2, 2)),
+        "eqps": jnp.asarray(0.0),
+    }
+    G, K = mat.G, mat.K
+    eps = 0.5 * (F + F.T) - np.eye(2)
+    p = K * np.trace(eps)
+    s = 2 * G * (eps - np.trace(eps) / 2 * np.eye(2))
+    q = np.sqrt(1.5) * np.linalg.norm(s)
+    phi = q - mat.sigma_y
+    assert phi > 0  # plastic for this draw
+    dps = phi / (3 * G + mat.kinematic_hardening + mat.isotropic_hardening)
+    eta_hat = s / np.linalg.norm(s)
+    s2 = s - np.sqrt(6.0) * G * dps * eta_hat
+    sigma = s2 + p * np.eye(2)
+    P_ref = np.linalg.det(F) * sigma @ np.linalg.inv(F).T
+    P = np.asarray(mat.pk1(jnp.asarray(F), state, 0.1))
+    assert np.allclose(P, P_ref, atol=1e-9)
+    new = mat.accumulate(jnp.asarray(F), state, 0.1)
+    assert np.isclose(float(new["eqps"]), dps)

@@ -53,6 +53,9 @@ class MortarContactBlock:
         self.wq = jnp.asarray(b_tables.wq[marked])
         self.x_ref_el = jnp.asarray(x_ref[self.conn])  # (n_mb, nd, dim)
         self.dim = x_ref.shape[1]
+        # surface-normal orientation of each marked element (mesh-file
+        # vertex-order convention, as MFEM boundary transforms use)
+        self.normal_sign = jnp.asarray(b_tables.normal_sign[marked])
 
         # local dof map (mortar_contact.cpp:34-90): unique marked scalar
         # dofs, ascending
@@ -109,28 +112,30 @@ class MortarContactBlock:
             total_area = jnp.sum(fac)
             return pressure, total_area
 
-        def elem_residual(u_el, x_ref_e, N_e, dN_e, wq_e, p_el):
+        def elem_residual(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sign):
             cur = u_el + x_ref_e
             p_q = jnp.einsum("qn,n->q", N_e, p_el)
             J = jnp.einsum("nd,qnk->qdk", cur, dN_e)
             det = jax.vmap(_det_surf)(J)
-            nrm = jax.vmap(_unit_normal_from_J)(J)
+            nrm = n_sign * jax.vmap(_unit_normal_from_J)(J)
             fac = wq_e * det * p_q
             res = -jnp.einsum("q,qn,qd->nd", fac, N_e, nrm)
             force = jnp.einsum("q,qd->d", fac, nrm)
             return res, (force, jnp.sum(fac))
 
+        n_sign = self.normal_sign
+
         def residual_pass(u, pressure):
             p_el = pressure[ldof]
-            res_el, (force_el, pint_el) = jax.vmap(
-                lambda a, b, c, d, e, f: elem_residual(a, b, c, d, e, f)
-            )(u[self.conn_j], x_ref_el, N, dN, wq, p_el)
+            res_el, (force_el, pint_el) = jax.vmap(elem_residual)(
+                u[self.conn_j], x_ref_el, N, dN, wq, p_el, n_sign
+            )
             force = jnp.sum(force_el, axis=0)
             pint = jnp.sum(pint_el)
             return res_el, force, pint
 
-        def elem_res_only(u_el, x_ref_e, N_e, dN_e, wq_e, p_el):
-            r, aux = elem_residual(u_el, x_ref_e, N_e, dN_e, wq_e, p_el)
+        def elem_res_only(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sg):
+            r, aux = elem_residual(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sg)
             return r, (r, aux)
 
         elem_jac = jax.jacfwd(elem_res_only, argnums=0, has_aux=True)
@@ -138,7 +143,7 @@ class MortarContactBlock:
         def residual_grad_pass(u, pressure):
             p_el = pressure[ldof]
             jac_el, (res_el, (force_el, pint_el)) = jax.vmap(elem_jac)(
-                u[self.conn_j], x_ref_el, N, dN, wq, p_el
+                u[self.conn_j], x_ref_el, N, dN, wq, p_el, n_sign
             )
             n_mb, nd = self.conn.shape
             blocks = jac_el.reshape(n_mb, nd * dim, nd * dim)

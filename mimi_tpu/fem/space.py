@@ -171,6 +171,8 @@ class BoundaryTables:
     wq: np.ndarray  # (n_bel, n_q) parametric quad weights
     detJ_ref: np.ndarray  # (n_bel, n_q) reference-config surface jacobian
     attr: np.ndarray  # (n_bel,) boundary attribute (1-based, as in file)
+    normal_sign: np.ndarray = None  # (n_bel,) +-1: file-orientation normal
+    # relative to the +tangent-axis parameterization used by the tables
 
 
 class FESpace:
@@ -232,7 +234,8 @@ class FESpace:
         p = self.patch
         d = self.para_dim
         conn_l, N_l, dN_l, wq_l, detJ_l, attr_l = [], [], [], [], [], []
-        for attr, axis, end in self.sides:
+        sign_l = []
+        for attr, axis, end, n_sign in self.sides:
             t_dims = [k for k in range(d) if k != axis]
             tabs = []
             for k in t_dims:
@@ -273,6 +276,7 @@ class FESpace:
             wq_l.append(wqf)
             detJ_l.append(detJ)
             attr_l.append(np.full(len(conn_g), attr, dtype=np.int64))
+            sign_l.append(np.full(len(conn_g), n_sign, dtype=np.float64))
         return BoundaryTables(
             conn=np.concatenate(conn_l),
             N=np.concatenate(N_l),
@@ -280,6 +284,7 @@ class FESpace:
             wq=np.concatenate(wq_l),
             detJ_ref=np.concatenate(detJ_l),
             attr=np.concatenate(attr_l),
+            normal_sign=np.concatenate(sign_l),
         )
 
     # ---------- boundary dofs ----------
@@ -295,7 +300,7 @@ class FESpace:
         dof_grid = np.arange(self.n_dof).reshape(*nc[::-1]).transpose(
             *range(d - 1, -1, -1)
         )
-        for attr, axis, end in found:
+        for attr, axis, end, _sign in found:
             sel = [slice(None)] * d
             sel[axis] = 0 if end == 0 else nc[axis] - 1
             dofs.append(dof_grid[tuple(sel)].ravel())

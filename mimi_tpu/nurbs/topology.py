@@ -134,8 +134,11 @@ class PatchTopology:
 
     # ------------- boundary sides -------------
     def boundary_sides(self, nc: list[int]):
-        """For each boundary element in the file: (attribute, axis, end)
-        where axis is the fixed parametric direction and end is 0 or 1."""
+        """For each boundary element in the file: (attribute, axis, end,
+        normal_sign) where axis is the fixed parametric direction, end is 0
+        or 1, and normal_sign relates the file's vertex-order orientation
+        (which MFEM boundary transformations — and hence surface normals —
+        follow) to the +tangent-axis parameterization used by our tables."""
         sides = []
         for attr, geom, vids in self.boundary:
             pos = np.array([self.corner_grid_pos(v, nc) for v in vids])
@@ -147,7 +150,21 @@ class PatchTopology:
             assert len(fixed) == 1, "boundary element is not a patch side"
             axis = fixed[0]
             end = 0 if pos[0, axis] == 0 else 1
-            sides.append((attr, axis, end))
+            t_dims = [d for d in range(self.dim) if d != axis]
+            if self.dim == 2:
+                d01 = pos[1] - pos[0]
+                sign = 1 if d01[t_dims[0]] > 0 else -1
+            else:
+                # quad face (a, b, c, d): xi1 along a->b, xi2 along a->d
+                f1 = pos[1] - pos[0]
+                f2 = pos[3] - pos[0]
+                i = int(np.nonzero(f1)[0][0])
+                j = int(np.nonzero(f2)[0][0])
+                s1 = 1 if f1[i] > 0 else -1
+                s2 = 1 if f2[j] > 0 else -1
+                orient = 1 if (i, j) == (t_dims[0], t_dims[1]) else -1
+                sign = s1 * s2 * orient
+            sides.append((attr, axis, end, sign))
         return sides
 
     # ------------- counts (MFEM mesh queries) -------------

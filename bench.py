@@ -1,0 +1,143 @@
+"""Benchmark: quadrature-point residual-eval throughput of the fully
+compiled implicit Newton step (flagship 3D J2 plasticity solid).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: 3D cube patch, p=2 (elevate 1), `MIMI_BENCH_SUBDIV` uniform
+refinements (default 4 -> 4096 elements, 64 quad points each), J2
+plasticity with Johnson-Cook hardening, generalized-alpha steps with
+4 fixed Newton iterations (matrix-free Jacobi-PCG linear solves and the
+reference's 3-point line search), float32.
+
+Counted work: per Newton iteration the step evaluates the residual 3 times
+(fused residual+tangent assembly counts once; two line-search evaluations)
+plus one state-accumulate sweep per step — the same accounting the
+reference's cost anchors use (BASELINE.md).  The reference's own FD tangent
+would cost (n_tdof+1) extra residual sweeps per element; we do NOT count
+that advantage.
+
+vs_baseline: speedup of the accelerator run over the identical compiled
+workload on the host CPU (the reference is a CPU-only shared-memory code;
+no published numbers exist, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("MIMI_TPU_X64", "0")  # float32 benchmark mode
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def _jc_material():
+    import mimi_tpu as mimi
+
+    mat = mimi.J2()
+    mat.density = 1.0
+    mat.viscosity = -1.0
+    mat.melting_temperature = 1500.0
+    mat.initial_temperature = 20.0
+    mat.specific_heat = 450.0
+    mat.heat_fraction = 0.9
+    mat.set_young_poisson(2100.0, 0.3)
+    h = mimi.JohnsonCookTemperatureAndRateDependentHardening()
+    h.A, h.B, h.n, h.m = 70.0, 140.0, 0.2835, 1.3558
+    h.eps0_dot = 0.004
+    h.reference_temperature = 20.0
+    mat.hardening = h
+    return mat
+
+
+def _build(subdiv):
+    from mimi_tpu.parallel import sharding as sh
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prob = sh.build_problem(
+        os.path.join(here, "tests", "data", "cube-nurbs.mesh"),
+        elevate=1,
+        subdivide=subdiv,
+        material=_jc_material(),
+        dirichlet=[(1, 0), (1, 1), (1, 2)],
+        body_force={1: -3.0},
+        rho_inf=0.5,
+        dtype=jnp.float32,
+    )
+    return prob
+
+
+NEWTON_ITERS = 4
+RES_EVALS_PER_STEP = NEWTON_ITERS * 3 + 1  # +1 accumulate sweep
+
+
+def _time_steps(prob, step, n_steps):
+    from mimi_tpu.parallel import sharding as sh
+
+    carry = sh.initial_carry(prob)
+    carry = step(carry)  # compile + warm
+    jax.tree.map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
+        carry,
+    )
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        carry = step(carry)
+    carry["u"].block_until_ready()
+    dt_wall = time.perf_counter() - t0
+    assert bool(jnp.all(jnp.isfinite(carry["u"]))), "non-finite result"
+    return dt_wall
+
+
+def main():
+    from mimi_tpu.parallel import sharding as sh
+
+    subdiv = int(os.environ.get("MIMI_BENCH_SUBDIV", "4"))
+    n_steps = int(os.environ.get("MIMI_BENCH_STEPS", "10"))
+    prob = _build(subdiv)
+    qp_total = prob.n_el * prob.n_q
+
+    step_fn = sh.make_step(
+        prob, dt=0.05, newton_iters=NEWTON_ITERS, solver="cg", cg_iters=150
+    )
+    step = jax.jit(step_fn)
+    wall = _time_steps(prob, step, n_steps)
+    per_step = wall / n_steps
+    evals_per_sec = qp_total * RES_EVALS_PER_STEP / per_step
+
+    # host-CPU baseline of the identical workload (reference is CPU-only)
+    vs_baseline = -1.0
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            prob_cpu = _build(subdiv)
+            step_cpu = jax.jit(sh.make_step(
+                prob_cpu, dt=0.05, newton_iters=NEWTON_ITERS,
+                solver="cg", cg_iters=150,
+            ))
+            n_cpu = max(1, min(2, n_steps))
+            wall_cpu = _time_steps(prob_cpu, step_cpu, n_cpu)
+            vs_baseline = (wall_cpu / n_cpu) / per_step
+    except Exception as e:
+        print(f"# cpu baseline skipped: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "qp_residual_evals_per_sec",
+                "value": evals_per_sec,
+                "unit": (
+                    f"quad-point residual evals/s (3D J2, {prob.n_el} elems"
+                    f" x {prob.n_q} qp, {NEWTON_ITERS}-iter Newton+CG step,"
+                    " f32)"
+                ),
+                "vs_baseline": vs_baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,16 @@ def dense_from_scalar_blocks(blocks, conn, n_dof, dim):
     return A
 
 
+def dense_from_scalar_blocks_jnp(blocks, conn, n_dof, dim):
+    """jit-compatible dense matrix from per-element scalar blocks."""
+    n_vdof = n_dof * dim
+    A = jnp.zeros((n_vdof, n_vdof), blocks.dtype)
+    for c in range(dim):
+        vconn = conn * dim + c
+        A = A.at[vconn[:, :, None], vconn[:, None, :]].add(blocks)
+    return A
+
+
 def scatter_dense_vblocks(blocks, conn, n_dof, dim):
     """Dense (n_vdof, n_vdof) from per-element vdof blocks
     (n_el, nd*dim, nd*dim) — jit-compatible scatter-add."""

@@ -1,0 +1,394 @@
+"""Functional problem core + multi-chip sharding.
+
+The interactive `NonlinearSolid` session keeps Newton orchestration in
+Python for reference-exact line-search control flow.  This module provides
+the *compiled* counterpart used for benchmarking and scale-out: one fully
+jitted generalized-alpha step (predict -> fixed-trip Newton with the
+3-point line search -> correct -> state accumulate) over a pytree problem
+description.
+
+Multi-chip design (the TPU-native replacement for the reference's
+shared-memory element loop, n_thread_exe.hpp:37-97): a 1D
+`jax.sharding.Mesh` over axis "e"; all (n_elem, ...) quadrature tables and
+material-state arrays are sharded along "e", dof vectors are replicated.
+XLA turns the element-batch scatter-add into local scatters + an
+all-reduce over ICI; dot products in CG/Newton reduce with psum.  Elements
+are padded with zero-measure entries (w_detJ = 0, dN/dX = 0 -> F = I) to a
+multiple of the device count, so padding contributes exactly zero.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fem import kernels as K
+from ..fem.space import FESpace
+from ..nurbs.mesh_io import read_mfem_nurbs_mesh
+from ..nurbs.topology import build_patch_from_mesh
+from ..solvers.linear import pcg
+
+
+@dataclass
+class Problem:
+    """Pytree-able problem data + static config for the compiled step."""
+
+    material: object
+    n_dof: int
+    dim: int
+    n_el: int
+    n_q: int
+    # element tables (shardable along axis 0)
+    conn: jnp.ndarray
+    dN_dX: jnp.ndarray
+    w_detJ: jnp.ndarray
+    N: jnp.ndarray
+    mass_blocks: jnp.ndarray  # scalar blocks, same conn
+    # dof data (replicated)
+    rhs: jnp.ndarray
+    free: jnp.ndarray  # (n_dof, dim) 1.0/0.0
+    # gen-alpha factors
+    facs: dict
+    state0: object  # material state pytree or None
+
+    def tree_arrays(self):
+        return [
+            "conn",
+            "dN_dX",
+            "w_detJ",
+            "N",
+            "mass_blocks",
+            "rhs",
+            "free",
+        ]
+
+
+def build_problem(
+    mesh_path: str,
+    elevate: int,
+    subdivide: int,
+    material,
+    dirichlet: list,  # [(bid, dim), ...]
+    body_force: dict,  # {dim: value}
+    rho_inf: float = 0.25,
+    dtype=jnp.float64,
+    pad_multiple: int = 1,
+) -> Problem:
+    mesh = read_mfem_nurbs_mesh(mesh_path)
+    patch, topo, _ = build_patch_from_mesh(mesh)
+    if elevate > 0:
+        patch.elevate_degrees(elevate)
+    for _ in range(subdivide):
+        patch.uniform_refine()
+    fes = FESpace(patch, topo)
+    dim = fes.dim
+    n_dof = fes.n_dof
+    material.setup(dim)
+
+    tables = fes.domain_tables(-1)
+    p_max = max(patch.degrees)
+    mass_tables = fes.domain_tables(2 * p_max + dim * p_max - 1)
+    # use the same quadrature for mass as stiffness when padding for
+    # sharding (one conn array); exact for affine geometry
+    mass_blocks = K.scalar_blocks_mass(tables, material.density)
+
+    zero_mask = fes.boundary_dof_mask(_merge_dirichlet(dirichlet))
+    free = (~zero_mask).astype(np.float64)
+
+    rhs = np.zeros((n_dof, dim))
+    if body_force:
+        nodal = np.einsum("eq,eqn->en", tables.w_detJ, tables.N)
+        acc = np.zeros(n_dof)
+        np.add.at(acc, tables.conn, nodal)
+        for c, val in body_force.items():
+            rhs[:, c] += acc * val
+        rhs[zero_mask] = 0.0
+
+    n_el, n_q, n_dof_el = tables.N.shape
+    # pad element batch
+    n_pad = (-n_el) % pad_multiple
+    def padel(a, fill=0.0):
+        if n_pad == 0:
+            return a
+        pad_shape = (n_pad,) + a.shape[1:]
+        return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+
+    conn = padel(tables.conn, 0)
+    dN_dX = padel(tables.dN_dX)
+    w_detJ = padel(tables.w_detJ)
+    N = padel(tables.N)
+    mblocks = padel(mass_blocks)
+
+    rho = min(max(rho_inf, 0.0), 1.0)
+    am = (2.0 - rho) / (1.0 + rho)
+    af = 1.0 / (1.0 + rho)
+    beta = 0.25 * (1.0 + am - af) ** 2
+    gamma = 0.5 + am - af
+    facs = dict(
+        fac0=0.5 - beta / am,
+        fac1=af,
+        fac1_inv=1.0 / af,
+        fac2=af * (1.0 - gamma / am),
+        fac3=beta * af / am,
+        fac4=gamma * af / am,
+        fac5_inv=1.0 / am,
+    )
+
+    state0 = (
+        material.init_state((n_el + n_pad, n_q))
+        if material.has_state
+        else None
+    )
+
+    cast = lambda a: jnp.asarray(a, dtype) if a.dtype.kind == "f" else jnp.asarray(a)
+    return Problem(
+        material=material,
+        n_dof=n_dof,
+        dim=dim,
+        n_el=n_el + n_pad,
+        n_q=n_q,
+        conn=jnp.asarray(conn),
+        dN_dX=cast(dN_dX),
+        w_detJ=cast(w_detJ),
+        N=cast(N),
+        mass_blocks=cast(mblocks),
+        rhs=cast(rhs),
+        free=cast(free),
+        facs=facs,
+        state0=jax.tree.map(lambda a: jnp.asarray(a, dtype), state0)
+        if state0 is not None
+        else None,
+    )
+
+
+def _merge_dirichlet(pairs):
+    out = {}
+    for b, d in pairs:
+        out.setdefault(b, set()).add(d)
+    return out
+
+
+def initial_carry(prob: Problem):
+    z = jnp.zeros((prob.n_dof, prob.dim), prob.rhs.dtype)
+    return {"u": z, "v": z, "a": z, "state": prob.state0}
+
+
+def make_step(
+    prob: Problem,
+    dt: float,
+    newton_iters: int = 4,
+    solver: str = "dense",
+    cg_iters: int = 200,
+):
+    """Fully jitted generalized-alpha step: carry -> carry.
+
+    Newton runs a fixed trip count with the reference's 3-point-quadratic
+    line search; `solver` picks dense LU or matrix-free Jacobi-PCG (the
+    operator apply is a JVP of the assembled residual).
+    """
+    mat = prob.material
+    dim = prob.dim
+    n_dof = prob.n_dof
+    conn = prob.conn
+    dNdX = prob.dN_dX
+    wdet = prob.w_detJ
+    free = prob.free
+    rhs = prob.rhs
+    f = prob.facs
+    I = jnp.eye(dim, dtype=prob.rhs.dtype)
+    dt = float(dt)
+    fac0 = f["fac3"] * dt * dt
+    fac1 = f["fac4"] * dt
+
+    def elem_residual(u_el, dNdX_e, wdet_e, state_e):
+        F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
+        P_ = jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))(F, state_e)
+        return jnp.einsum("q,qnd,qcd->nc", wdet_e, dNdX_e, P_)
+
+    batched_res = jax.vmap(elem_residual, in_axes=(0, 0, 0, 0))
+
+    def E(u, state):
+        res_el = batched_res(u[conn], dNdX, wdet, state)
+        return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
+
+    def elem_res_aux(u_el, dNdX_e, wdet_e, state_e):
+        r = elem_residual(u_el, dNdX_e, wdet_e, state_e)
+        return r, r
+
+    elem_jac = jax.jacfwd(elem_res_aux, argnums=0, has_aux=True)
+    batched_jac = jax.vmap(elem_jac, in_axes=(0, 0, 0, 0))
+
+    def mass_apply(u):
+        ue = u[conn]
+        ye = jnp.einsum("enm,emc->enc", prob.mass_blocks, ue)
+        return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(ye)
+
+    def residual(aa, xa, va, state):
+        temp_x = xa + fac0 * aa
+        y = mass_apply(aa * free) + E(temp_x, state)
+        return (y - rhs) * free
+
+    def res_and_grad_dense(aa, xa, va, state):
+        temp_x = xa + fac0 * aa
+        jac_el, res_el = batched_jac(temp_x[conn], dNdX, wdet, state)
+        rE = jnp.zeros((n_dof, dim), aa.dtype).at[conn].add(res_el)
+        y = (mass_apply(aa * free) + rE - rhs) * free
+        n_el, nd = conn.shape
+        blocks = jac_el.reshape(n_el, nd * dim, nd * dim)
+        J = fac0 * K.scatter_dense_vblocks(blocks, conn, n_dof, dim)
+        J = J + K.dense_from_scalar_blocks_jnp(
+            prob.mass_blocks, conn, n_dof, dim
+        )
+        free_flat = free.reshape(-1)
+        J = J * jnp.outer(free_flat, free_flat) + jnp.diag(1.0 - free_flat)
+        return y, J
+
+    def newton_dense(aa, xa, va, state):
+        def body(i, aa):
+            r, J = res_and_grad_dense(aa, xa, va, state)
+            c = jnp.linalg.solve(J, r.reshape(-1)).reshape(n_dof, dim)
+            # 3-point line search (newton.cpp:138-178)
+            q1 = jnp.linalg.norm(r)
+            q3 = jnp.linalg.norm(residual(aa - c, xa, va, state))
+            q2 = jnp.linalg.norm(residual(aa - 0.5 * c, xa, va, state))
+            denom = q1 - 2.0 * q2 + q3
+            eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom)
+            scale = jnp.where(
+                (denom > 0) & (eps > 0) & (eps < 1),
+                eps,
+                jnp.where(q3 < q1, 1.0, 0.05),
+            )
+            return aa - scale * c
+
+        return jax.lax.fori_loop(0, newton_iters, body, aa)
+
+    def newton_cg(aa, xa, va, state):
+        def body(i, aa):
+            temp_x = xa + fac0 * aa
+            rE, E_jvp = jax.linearize(lambda x: E(x, state), temp_x)
+            r = (mass_apply(aa * free) + rE - rhs) * free
+
+            def J_apply(w_flat):
+                w = w_flat.reshape(n_dof, dim) * free
+                y = mass_apply(w) + fac0 * E_jvp(w)
+                return (
+                    y * free + w_flat.reshape(n_dof, dim) * (1 - free)
+                ).reshape(-1)
+
+            # diagonal preconditioner: mass diag + fac0 * K diag
+            m_diag = jnp.zeros(n_dof).at[conn].add(
+                jnp.einsum("enn->en", prob.mass_blocks)
+            )
+            diag = jnp.repeat(m_diag, dim)  # K-diag omitted (cheap Jacobi)
+            diag = jnp.where(free.reshape(-1) > 0, diag, 1.0)
+            c = pcg(J_apply, r.reshape(-1), diag, max_iter=cg_iters).reshape(
+                n_dof, dim
+            )
+            q1 = jnp.linalg.norm(r)
+            q3 = jnp.linalg.norm(residual(aa - c, xa, va, state))
+            q2 = jnp.linalg.norm(residual(aa - 0.5 * c, xa, va, state))
+            denom = q1 - 2.0 * q2 + q3
+            eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom)
+            scale = jnp.where(
+                (denom > 0) & (eps > 0) & (eps < 1),
+                eps,
+                jnp.where(q3 < q1, 1.0, 0.05),
+            )
+            return aa - scale * c
+
+        return jax.lax.fori_loop(0, newton_iters, body, aa)
+
+    newton = newton_dense if solver == "dense" else newton_cg
+
+    def elem_accumulate(u_el, dNdX_e, state_e):
+        F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
+        return jax.vmap(lambda Fq, sq: mat.accumulate(Fq, sq, dt))(
+            F, state_e
+        )
+
+    def step(carry):
+        u, v, a, state = carry["u"], carry["v"], carry["a"], carry["state"]
+        prev_fac = 1.0 - f["fac1_inv"]
+        xa = u + (v + f["fac0"] * dt * a) * f["fac1"] * dt
+        va = v + f["fac2"] * dt * a
+        aa = newton(jnp.zeros_like(u), xa, va, state)
+        xa = xa + fac0 * aa
+        va = va + fac1 * aa
+        u = u * prev_fac + f["fac1_inv"] * xa
+        v = v * prev_fac + f["fac1_inv"] * va
+        a = a * prev_fac + f["fac5_inv"] * aa
+        if state is not None:
+            state = jax.vmap(elem_accumulate, in_axes=(0, 0, 0))(
+                u[conn], dNdX, state
+            )
+        return {"u": u, "v": v, "a": a, "state": state}
+
+    return step
+
+
+def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
+    """Places element-axis arrays sharded over mesh axis 'e', dof arrays
+    replicated."""
+    e_shard = NamedSharding(mesh, P("e"))
+    rep = NamedSharding(mesh, P())
+    put_e = lambda a: jax.device_put(a, e_shard)
+    put_r = lambda a: jax.device_put(a, rep)
+    return Problem(
+        material=prob.material,
+        n_dof=prob.n_dof,
+        dim=prob.dim,
+        n_el=prob.n_el,
+        n_q=prob.n_q,
+        conn=put_e(prob.conn),
+        dN_dX=put_e(prob.dN_dX),
+        w_detJ=put_e(prob.w_detJ),
+        N=put_e(prob.N),
+        mass_blocks=put_e(prob.mass_blocks),
+        rhs=put_r(prob.rhs),
+        free=put_r(prob.free),
+        facs=prob.facs,
+        state0=jax.tree.map(put_e, prob.state0)
+        if prob.state0 is not None
+        else None,
+    )
+
+
+def make_forward(prob: Problem, dt: float):
+    """Jittable forward operator: the Newton residual
+    y = M aa + E(xa + fac0 aa) - f with Dirichlet rows masked.  Used by the
+    single-chip compile check."""
+    mat = prob.material
+    dim = prob.dim
+    n_dof = prob.n_dof
+    conn = prob.conn
+    dNdX = prob.dN_dX
+    wdet = prob.w_detJ
+    free = prob.free
+    rhs = prob.rhs
+    I = jnp.eye(dim, dtype=prob.rhs.dtype)
+    fac0 = prob.facs["fac3"] * dt * dt
+
+    def elem_residual(u_el, dNdX_e, wdet_e, state_e):
+        F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
+        P_ = jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))(F, state_e)
+        return jnp.einsum("q,qnd,qcd->nc", wdet_e, dNdX_e, P_)
+
+    batched_res = jax.vmap(elem_residual, in_axes=(0, 0, 0, 0))
+
+    def mass_apply(u):
+        ye = jnp.einsum("enm,emc->enc", prob.mass_blocks, u[conn])
+        return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(ye)
+
+    def forward(aa, xa, va, state):
+        temp_x = xa + fac0 * aa
+        res_el = batched_res(temp_x[conn], dNdX, wdet, state)
+        y = mass_apply(aa * free)
+        y = y.at[conn].add(res_el)
+        return (y - rhs) * free
+
+    return forward

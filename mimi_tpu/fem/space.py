@@ -64,6 +64,85 @@ def _dim_tables(kv, p, n_gauss):
 
 
 def _tensor_basis(tabs, weights_grid):
+    """Vectorized tensor-product rational basis over all elements.
+
+    Same contract as _tensor_basis_ref (kept for validation) but built with
+    batched einsum/Kronecker products instead of per-element python loops —
+    required for 1e5-element meshes where setup would otherwise dominate.
+    """
+    d = len(tabs)
+    nc = weights_grid.shape
+    spans = [t[0].shape[0] for t in tabs]
+    n_g = [t[1].shape[1] for t in tabs]
+    pp1 = [t[3].shape[2] for t in tabs]
+    n_el = int(np.prod(spans))
+    n_q = int(np.prod(n_g))
+    n_dof = int(np.prod(pp1))
+
+    # --- connectivity: global dof = sum_d (starts_d + a_d) * mult_d ---
+    mults = np.cumprod([1] + list(nc[:-1]))
+    per_dim_idx = [
+        tabs[k][0][:, None] + np.arange(pp1[k])[None, :]  # (S_k, P_k)
+        for k in range(d)
+    ]
+    conn = np.zeros((*spans[::-1], *pp1[::-1]), dtype=np.int64)
+    for k in range(d):
+        sh_s = [1] * d
+        sh_a = [1] * d
+        sh_s[d - 1 - k] = spans[k]
+        sh_a[d - 1 - k] = pp1[k]
+        conn = conn + (
+            per_dim_idx[k].reshape(*sh_s, *sh_a) * mults[k]
+        )
+    conn = conn.reshape(n_el, n_dof)
+
+    # --- quad weights: outer product over dims ---
+    WQ = np.ones((*spans[::-1], *n_g[::-1]))
+    for k in range(d):
+        sh_s = [1] * d
+        sh_g = [1] * d
+        sh_s[d - 1 - k] = spans[k]
+        sh_g[d - 1 - k] = n_g[k]
+        WQ = WQ * tabs[k][2].reshape(*sh_s, *sh_g)
+    WQ = WQ.reshape(n_el, n_q)
+
+    # --- tensor basis values and parametric derivatives ---
+    def outer_prod(mats):
+        """mats[k]: (S_k, G_k, P_k) -> (n_el, n_q, n_dof) with dim-0
+        fastest in each flattened index."""
+        out = np.ones((*spans[::-1], *n_g[::-1], *pp1[::-1]))
+        for k in range(d):
+            sh = [1] * (3 * d)
+            sh[d - 1 - k] = spans[k]
+            sh[2 * d - 1 - k] = n_g[k]
+            sh[3 * d - 1 - k] = pp1[k]
+            out = out * mats[k].reshape(sh)
+        return out.reshape(n_el, n_q, n_dof)
+
+    Bq = outer_prod([tabs[k][3] for k in range(d)])
+    Dq = []
+    for der in range(d):
+        Dq.append(
+            outer_prod(
+                [tabs[k][4] if k == der else tabs[k][3] for k in range(d)]
+            )
+        )
+
+    # --- rational (NURBS) correction ---
+    w_flat = weights_grid.transpose(*range(d - 1, -1, -1)).reshape(-1)
+    w_loc = w_flat[conn]  # (n_el, n_dof)
+    wB = w_loc[:, None, :] * Bq
+    W = wB.sum(-1)  # (n_el, n_q)
+    N = wB / W[:, :, None]
+    dN = np.zeros((n_el, n_q, n_dof, d))
+    for k in range(d):
+        wD = w_loc[:, None, :] * Dq[k]
+        Wd = wD.sum(-1)
+        dN[..., k] = (wD - N * Wd[:, :, None]) / W[:, :, None]
+    return conn, N, dN, WQ
+
+
+def _tensor_basis_ref(tabs, weights_grid):
     """Tensor-product rational basis over all elements of a patch grid.
 
     tabs: list over dims of (starts, uq, wq, B, D)

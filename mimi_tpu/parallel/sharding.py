@@ -173,9 +173,53 @@ def _merge_dirichlet(pairs):
     return out
 
 
-def initial_carry(prob: Problem):
+def initial_carry(prob: Problem, dt: float = 1.0):
+    """Zero fields + the first-step explicit acceleration
+    a0 = M^{-1}(f - E(0)) (GeneralizedAlpha2 nstate==0 semantics,
+    ode.cpp:38-42).  `dt` only reaches rate-dependent hardening terms; at
+    the zero state nothing yields, so any positive value is equivalent
+    (the reference evaluates this with its dt defaulted to 0 and relies on
+    IEEE inf semantics; a positive dt is the traced-code-safe analog)."""
     z = jnp.zeros((prob.n_dof, prob.dim), prob.rhs.dtype)
-    return {"u": z, "v": z, "a": z, "state": prob.state0}
+    a0 = _explicit_accel(prob, z, z, prob.state0, dt)
+    return {"u": z, "v": z, "a": a0, "state": prob.state0}
+
+
+def _explicit_accel(prob: Problem, u, v, state, dt):
+    mat = prob.material
+    dim = prob.dim
+    n_dof = prob.n_dof
+    conn = prob.conn
+    free = prob.free
+    I = jnp.eye(dim, dtype=prob.rhs.dtype)
+
+    def elem_residual(u_el, dNdX_e, wdet_e, state_e):
+        F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
+        P_ = jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))(F, state_e)
+        return jnp.einsum("q,qnd,qcd->nc", wdet_e, dNdX_e, P_)
+
+    res_el = jax.vmap(elem_residual)(
+        u[conn], prob.dN_dX, prob.w_detJ, state
+    )
+    E_u = jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
+    z = (prob.rhs - E_u) * free
+
+    def mass_apply(w_flat):
+        w = w_flat.reshape(n_dof, dim) * free
+        ye = jnp.einsum("enm,emc->enc", prob.mass_blocks, w[conn])
+        y = jnp.zeros((n_dof, dim), w.dtype).at[conn].add(ye)
+        return (
+            y * free + w_flat.reshape(n_dof, dim) * (1 - free)
+        ).reshape(-1)
+
+    m_diag = jnp.zeros(n_dof).at[conn].add(
+        jnp.einsum("enn->en", prob.mass_blocks)
+    )
+    diag = jnp.repeat(m_diag, dim)
+    diag = jnp.where(free.reshape(-1) > 0, diag, 1.0)
+    a = pcg(mass_apply, z.reshape(-1), diag, rel_tol=1e-8, abs_tol=1e-12,
+            max_iter=1000)
+    return a.reshape(n_dof, dim) * free
 
 
 def make_step(

@@ -1,0 +1,185 @@
+"""API-surface parity tests: views, dof maps, to_splinepy, traction and
+constant-velocity boundary conditions, FSI fixed-point trio,
+RuntimeCommunication npz export."""
+
+import os
+
+import numpy as np
+import pytest
+
+import mimi_tpu as mimi
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _basic(mesh="balken.mesh", elevate=1, subdivide=1):
+    nl = mimi.NonlinearSolid()
+    nl.read_mesh(os.path.join(DATA, mesh))
+    if elevate:
+        nl.elevate_degrees(elevate)
+    if subdivide:
+        nl.subdivide(subdivide)
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1
+    mat.viscosity = -1
+    mat.set_young_poisson(2100, 0.3)
+    nl.set_material(mat)
+    return nl
+
+
+def test_to_splinepy_roundtrip():
+    nl = _basic()
+    s, to_m, to_s = mimi.to_splinepy(nl)
+    d = nl.nurbs()
+    # permutations invert each other
+    assert np.array_equal(to_m[to_s], np.arange(len(to_s)))
+    # cps in lex order = mfem cps gathered by to_s
+    assert np.allclose(s.cps, np.asarray(d["control_points"])[to_s])
+    # spline evaluates to the same geometry as the patch
+    pts = s.sample([5, 5])
+    ref = nl._patch.evaluate(
+        np.stack(
+            np.meshgrid(
+                np.linspace(0, 1, 5), np.linspace(0, 1, 5), indexing="ij"
+            ),
+            -1,
+        ).reshape(-1, 2, order="F")[:, :]
+    )
+    # sample uses F-order flat; build matching params
+    lo = np.linspace(0, 1, 5)
+    params = np.stack(
+        [g.reshape(-1, order="F") for g in np.meshgrid(lo, lo, indexing="ij")],
+        -1,
+    )
+    ref = nl._patch.evaluate(params)
+    assert np.allclose(pts, ref, atol=1e-10)
+
+
+def test_multi_index():
+    nl = _basic()
+    s, to_m, to_s = mimi.to_splinepy(nl)
+    mi = s.multi_index
+    nc = nl._patch.n_ctrl()
+    # last column of the grid (i = -1, all j)
+    idx = mi[-1, :]
+    assert len(idx) == nc[1]
+    assert idx[0] == nc[0] - 1
+
+
+def test_traction_rhs():
+    """Total assembled traction force equals traction * edge length."""
+    nl = _basic("balken.mesh", elevate=1, subdivide=1)
+    bc = mimi.BoundaryConditions()
+    bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+    # attr 4 (bid 3) is the right edge x=5 of the balken beam, length 1
+    bc.initial.traction(3, 0, 2.5)
+    nl.boundary_condition = bc
+    nl.setup(1)
+    rhs = np.asarray(nl._system.rhs)
+    # dirichlet rows zeroed; total x-force = 2.5 * length(=1)
+    assert np.isclose(rhs[:, 0].sum(), 2.5, atol=1e-12)
+    assert np.allclose(rhs[:, 1], 0.0)
+
+
+def test_constant_velocity_bc():
+    nl = _basic()
+    bc = mimi.BoundaryConditions()
+    bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+    bc.initial.constant_velocity(3, 1, 0.1)  # right edge moves up
+    nl.boundary_condition = bc
+    nl.setup(1)
+    nl.time_step_size = 0.05
+    u = nl.solution_view("displacement", "x").reshape(-1, 2)
+    for i in range(4):
+        nl.step_time2()
+    # boundary dofs on bid 3 moved with v=0.1: u_y = v * t
+    sd = nl._system.fes.side_dofs(3)
+    uy = np.asarray(nl._system.u)[sd, 1]
+    assert np.allclose(uy, 0.1 * nl.current_time, atol=1e-12), uy
+
+
+def test_fixed_point_trio():
+    """FixedPointSolve2/Advance2/AdvanceTime2 co-simulation pattern
+    (ode.cpp:81-187): repeated solves then a commit must equal the result
+    of plain step_time2 on an identical system."""
+    def mk():
+        nl = _basic()
+        bc = mimi.BoundaryConditions()
+        bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+        bc.initial.body_force(1, -5)
+        nl.boundary_condition = bc
+        nl.setup(1)
+        nl.configure_newton("nonlinear_solid", 1e-12, 1e-8, 10, False)
+        nl.time_step_size = 0.05
+        return nl
+
+    a, b = mk(), mk()
+    for _ in range(2):
+        a.step_time2()
+
+        b.fixed_point_solve2()
+        fx, fv = b.fixed_point_advance2()  # preview, non-committing
+        b.fixed_point_solve2()  # repeat solve (fsi iteration)
+        b.advance_time2()
+
+    ua = np.asarray(a._system.u)
+    ub = np.asarray(b._system.u)
+    assert np.allclose(ua, ub, atol=1e-10), np.abs(ua - ub).max()
+    assert np.isclose(a.current_time, b.current_time)
+
+
+def test_runtime_communication_npz(tmp_path):
+    nl = _basic()
+    bc = mimi.BoundaryConditions()
+    bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+    bc.initial.body_force(1, -5)
+    nl.boundary_condition = bc
+    rc = mimi.RuntimeCommunication()
+    fname = str(tmp_path / "out.npz")
+    rc.set_fname(fname)
+    rc.append_should_save("x", 1)
+    rc.append_should_save("v", 2)
+    nl.runtime_communication = rc
+    nl.setup(1)
+    nl.time_step_size = 0.05
+    for _ in range(4):
+        nl.step_time2()
+    data = np.load(fname)
+    # x saved every step, v every other step (timestep-modulo gate)
+    assert set(data.files) >= {"x_0", "x_1", "x_2", "x_3", "v_0", "v_2"}
+    assert "v_1" not in data.files
+    # saved vector matches the live view (mfem ordering)
+    u = nl.solution_view("displacement", "x").ravel()
+    assert np.allclose(data["x_3"], u)
+    # latest_vector access
+    assert np.allclose(rc.latest_vector("x_"), u)
+
+
+def test_boundary_dof_ids_and_zero_dofs():
+    nl = _basic()
+    bc = mimi.BoundaryConditions()
+    bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+    nl.boundary_condition = bc
+    nl.setup(1)
+    ids = nl.boundary_dof_ids("displacement", 2, 0)
+    zero = nl.zero_dof_ids("displacement")
+    # balken h1p2: 4x4 cps; left edge has 4 dofs
+    assert len(ids) == 4
+    assert len(zero) == 8
+    assert set(ids).issubset(set(zero))
+    # vdofs are even (x component, byVDIM)
+    assert all(i % 2 == 0 for i in ids)
+
+
+def test_newton_final_norms():
+    nl = _basic()
+    bc = mimi.BoundaryConditions()
+    bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+    bc.initial.body_force(1, -5)
+    nl.boundary_condition = bc
+    nl.setup(1)
+    nl.time_step_size = 0.05
+    nl.step_time2()
+    rel, absn = nl.newton_final_norms()
+    assert absn < 1e-8
+    assert rel < 1e-8

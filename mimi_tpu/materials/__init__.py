@@ -198,8 +198,21 @@ class _J2ThermoBase(Material):
         self._solver = make_scalar_solver(residual, _K_TOL, None, 100)
 
     def _solve_delta_eqps(self, q, eqps_old, thermo, dt, slope):
-        """Masked radial-return solve: active where residual(0) > tol."""
+        """Masked radial-return solve: active where residual(0) > tol.
+
+        The bracketed Newton-bisection solve itself runs outside AD (all
+        inputs stop_gradient'ed); exact sensitivities are re-injected with
+        one implicit-function-theorem Newton correction
+            delta = delta* - r(delta*, theta)/r'(delta*)
+        whose value equals delta* (r ~ 0 there) and whose JVP equals the
+        IFT derivative.  This keeps jacfwd element tangents from replaying
+        the iterative solve once per tangent direction — the single
+        biggest compile/runtime cost otherwise.
+        """
+        import jax
+
         hard = self.hardening
+        sg = jax.lax.stop_gradient
         r0 = self._residual(0.0, q, eqps_old, thermo, dt, slope)
         active = r0 > self._tolerance
         eval0 = hard.evaluate(eqps_old)
@@ -207,13 +220,20 @@ class _J2ThermoBase(Material):
         # benign substitute problem for inactive lanes (result discarded)
         q_safe = jnp.where(active, q, eval0 * thermo + 0.5 * slope)
         ub = jnp.where(active, ub_raw, 1.0)
-        delta = self._solver(
-            0.0,
-            0.0,
-            ub,
-            self._tolerance,
-            (q_safe, eqps_old, thermo, dt, slope),
+        theta_ng = tuple(
+            sg(x) for x in (q_safe, eqps_old, thermo, dt, slope)
         )
+        d_star = sg(
+            self._solver(0.0, 0.0, sg(ub), self._tolerance, theta_ng)
+        )
+        # differentiable re-injection (theta with gradients)
+        fval = self._residual(d_star, q_safe, eqps_old, thermo, dt, slope)
+        fprime = sg(
+            jax.grad(self._residual, argnums=0)(
+                d_star, *theta_ng
+            )
+        )
+        delta = d_star - fval / fprime
         return jnp.where(active, delta, 0.0), active
 
 

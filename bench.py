@@ -4,7 +4,8 @@ compiled implicit Newton step (flagship 3D J2 plasticity solid).
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: 3D cube patch, p=2 (elevate 1), `MIMI_BENCH_SUBDIV` uniform
-refinements (default 4 -> 4096 elements, 64 quad points each), J2
+refinements (default 3 -> 512 elements, 64 quad points each; the remote
+TPU compiler currently scales poorly beyond that — see ROADMAP), J2
 plasticity with Johnson-Cook hardening, generalized-alpha steps with
 4 fixed Newton iterations (matrix-free Jacobi-PCG linear solves and the
 reference's 3-point line search), float32.
@@ -94,7 +95,7 @@ def _time_steps(prob, step, n_steps):
 def main():
     from mimi_tpu.parallel import sharding as sh
 
-    subdiv = int(os.environ.get("MIMI_BENCH_SUBDIV", "4"))
+    subdiv = int(os.environ.get("MIMI_BENCH_SUBDIV", "3"))
     n_steps = int(os.environ.get("MIMI_BENCH_STEPS", "10"))
     prob = _build(subdiv)
     qp_total = prob.n_el * prob.n_q

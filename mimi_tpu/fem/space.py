@@ -64,6 +64,20 @@ def _dim_tables(kv, p, n_gauss):
 
 
 def _tensor_basis(tabs, weights_grid):
+    """Tensor-product rational basis over all elements: native C++ engine
+    when available (OpenMP element loop, no large temporaries), vectorized
+    numpy otherwise.  Both validated against _tensor_basis_ref."""
+    from . import native
+
+    d = len(weights_grid.shape)
+    w_flat = weights_grid.transpose(*range(d - 1, -1, -1)).reshape(-1)
+    nat = native.tensor_tables_native(tabs, w_flat, weights_grid.shape)
+    if nat is not None:
+        return nat
+    return _tensor_basis_numpy(tabs, weights_grid)
+
+
+def _tensor_basis_numpy(tabs, weights_grid):
     """Vectorized tensor-product rational basis over all elements.
 
     Same contract as _tensor_basis_ref (kept for validation) but built with

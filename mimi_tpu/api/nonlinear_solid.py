@@ -472,6 +472,16 @@ class _System:
     def newton_final_norms(self):
         return self.newton.final_norms()
 
+    def nonlinear_form2(self, name):
+        """Form handles (reference binding `nonlinear_from2`,
+        py_solid.cpp:409-423): 'contact' exposes GapNorm-style
+        diagnostics."""
+        if name == "contact" and self.contact_blocks:
+            return _ContactFormView(self)
+        if name == "nonlinear_stiffness":
+            return _StiffnessFormView(self)
+        raise KeyError(f"Requested nonlinear form - {name} - does not exist.")
+
     def boundary_dof_ids(self, bid, dim_c):
         lex = self.fes.side_dofs(bid)
         vdofs = self.fes.perm_lex_to_mfem[lex] * self.dim + dim_c
@@ -481,6 +491,36 @@ class _System:
         lex_dofs, comps = np.nonzero(self.zero_mask)
         vdofs = self.fes.perm_lex_to_mfem[lex_dofs] * self.dim + comps
         return np.sort(vdofs)
+
+
+class _ContactFormView:
+    """Diagnostics over all contact integrators of the 'contact' form."""
+
+    def __init__(self, system):
+        self._sys = system
+
+    def gap_norm(self, nthreads: int = -1) -> float:
+        import math
+
+        total = 0.0
+        for blk in self._sys.contact_blocks:
+            g = blk.gap_norm(self._sys.u, blk.scene.scene_data())
+            total += g * g
+        return math.sqrt(total)
+
+
+class _StiffnessFormView:
+    def __init__(self, system):
+        self._sys = system
+
+    def residual(self):
+        """E(u) at the current displacement (numpy, mfem order)."""
+        import numpy as np
+
+        r = self._sys._E_residual(
+            self._sys.u, self._sys.state, self._sys.dt or 1.0
+        )
+        return self._sys._flat_mfem(np.asarray(r))
 
 
 class NonlinearSolid(Solid):

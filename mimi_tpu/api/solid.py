@@ -143,6 +143,13 @@ class Solid:
     def newton_final_norms(self):
         return self._require_system().newton_final_norms()
 
+    def nonlinear_from2(self, nlf_name: str):
+        """Reference binding name (py_solid.cpp:52)."""
+        return self._require_system().nonlinear_form2(nlf_name)
+
+    def nonlinear_form2(self, nlf_name: str):
+        return self._require_system().nonlinear_form2(nlf_name)
+
     def solution_view(self, fe_space_name: str, component_name: str):
         return self._require_system().solution_view(
             fe_space_name, component_name

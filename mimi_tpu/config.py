@@ -10,10 +10,16 @@ from __future__ import annotations
 
 import os
 
-if os.environ.get("MIMI_TPU_X64", "1") != "0":
-    import jax
+import jax
 
+if os.environ.get("MIMI_TPU_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
+
+# The hosted axon TPU plugin ignores JAX_PLATFORMS set after launch;
+# MIMI_TPU_PLATFORM provides a reliable override (e.g. "cpu").
+_platform = os.environ.get("MIMI_TPU_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -215,8 +215,10 @@ class MortarContactBlock:
             rc.record_real_history("area", self.last_area)
             rc.record_real_history("force_x", self.last_force[0])
             rc.record_real_history("force_y", self.last_force[1])
+            fy = self.last_force[1]
             rc.record_real_history(
-                "x_over_y", self.last_force[0] / self.last_force[1]
+                "x_over_y",
+                self.last_force[0] / fy if fy != 0.0 else float("nan"),
             )
             rc.record_real_history("pressure", self.last_pressure)
             if self.dim > 2:

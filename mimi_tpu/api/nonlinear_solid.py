@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from .. import config
 from ..fem import kernels as K
-from ..fem.space import FESpace
+from ..fem.space import FESpace, build_periodic_map
 from ..contact.mortar import MortarContactBlock
 from ..solvers.newton import LineSearchNewton
 from ..solvers import ode as ode_mod
@@ -77,25 +77,37 @@ class _System:
         self.rc = rc
         patch, topo = solid._patch, solid._topo
 
-        if bc.initial.periodic_boundaries_:
-            raise NotImplementedError(
-                "periodic boundaries are not implemented yet"
-            )
-
         fes = self.fes = FESpace(patch, topo)
         dim = self.dim = fes.dim
-        n_dof = self.n_dof = fes.n_dof
-        self.n_vdof = n_dof * dim
         dtype = config.dtype()
+
+        # periodic dof identification (ConnectBoundaries semantics):
+        # assembly scatters through red_index, so the whole system lives
+        # on the reduced dof set.
+        self.periodic = bool(bc.initial.periodic_boundaries_)
+        if self.periodic:
+            red_index, n_red, masters = build_periodic_map(
+                fes, bc.initial.periodic_boundaries_
+            )
+        else:
+            red_index = np.arange(fes.n_dof)
+            n_red = fes.n_dof
+            masters = np.arange(fes.n_dof)
+        self.red_index = red_index
+        self.masters = masters
+        n_dof = self.n_dof = n_red
+        self.n_vdof = n_dof * dim
 
         # ---- fields (internal lexicographic order, (n_dof, dim)) ----
         self.u = jnp.zeros((n_dof, dim), dtype)
         self.v = jnp.zeros((n_dof, dim), dtype)
         self.a = jnp.zeros((n_dof, dim), dtype)
-        self.x_ref = np.asarray(fes.x_ref)
+        self.x_ref = np.asarray(fes.x_ref)[masters]
 
         # ---- dirichlet machinery ----
-        self.zero_mask = fes.boundary_dof_mask(bc.initial.dirichlet_)
+        zm_full = fes.boundary_dof_mask(bc.initial.dirichlet_)
+        self.zero_mask = np.zeros((n_dof, dim), dtype=bool)
+        np.logical_or.at(self.zero_mask, red_index, zm_full)
         self.free = jnp.asarray(~self.zero_mask, dtype=dtype)
         zm_flat = self.zero_mask.ravel()
         free_flat = ~zm_flat
@@ -108,6 +120,7 @@ class _System:
         material.setup(dim)
         q_order = rc.get_int("nonlinear_solid_quadrature_order", -1)
         tables = self.tables = fes.domain_tables(q_order)
+        tables.conn = red_index[tables.conn]
         self.n_el = tables.conn.shape[0]
         self.n_quad_total = self.n_el * tables.n_q
         (
@@ -126,6 +139,7 @@ class _System:
         # MFEM VectorMassIntegrator default order: 2p + dim*p - 1
         p_max = max(patch.degrees)
         mass_tables = fes.domain_tables(2 * p_max + dim * p_max - 1)
+        mass_tables.conn = red_index[mass_tables.conn]
         mass_blocks = K.scalar_blocks_mass(mass_tables, material.density)
         self._mass_apply = K.make_block_apply(
             mass_blocks, mass_tables.conn, n_dof, dim
@@ -160,6 +174,7 @@ class _System:
             b_tables = fes.boundary_tables(
                 rc.get_int("contact_quadrature_order", -1)
             )
+            b_tables.conn = red_index[b_tables.conn]
             for bid, scene in bc.current.contact_.items():
                 marked = np.nonzero(b_tables.attr == bid + 1)[0]
                 blk = MortarContactBlock(
@@ -183,7 +198,7 @@ class _System:
             cv_mask = np.zeros((n_dof, dim), dtype=bool)
             cv_val = np.zeros((n_dof, dim))
             for bid, dim_vals in bc.initial.constant_velocity_.items():
-                sd = fes.side_dofs(bid)
+                sd = np.unique(red_index[fes.side_dofs(bid)])
                 for d, val in dim_vals.items():
                     cv_mask[sd, d] = True
                     cv_val[sd, d] = val
@@ -215,6 +230,7 @@ class _System:
         if traction:
             rhs_set = True
             bt = self.fes.boundary_tables(-1)
+            bt.conn = self.red_index[bt.conn]
             for bid, dim_vals in traction.items():
                 sel = np.nonzero(bt.attr == bid + 1)[0]
                 nodal = np.einsum(
@@ -373,10 +389,16 @@ class _System:
 
     # ---------------- view/order helpers ----------------
     def _to_mfem(self, arr2d):
-        """(n_dof, dim) lex -> (n_dof, dim) mfem row order."""
+        """(n_dof, dim) internal -> mfem row order.  On the reduced
+        (periodic) space the internal ids are already ordered by the
+        master's mfem id, so the map is the identity there."""
+        if self.periodic:
+            return np.asarray(arr2d).copy()
         return np.asarray(arr2d)[self.fes.inv_perm]
 
     def _from_mfem(self, arr2d):
+        if self.periodic:
+            return np.asarray(arr2d).copy()
         return np.asarray(arr2d)[self.fes.perm_lex_to_mfem]
 
     def _flat_mfem(self, arr2d):
@@ -484,13 +506,25 @@ class _System:
 
     def boundary_dof_ids(self, bid, dim_c):
         lex = self.fes.side_dofs(bid)
-        vdofs = self.fes.perm_lex_to_mfem[lex] * self.dim + dim_c
+        if self.periodic:
+            vdofs = np.unique(self.red_index[lex]) * self.dim + dim_c
+        else:
+            vdofs = self.fes.perm_lex_to_mfem[lex] * self.dim + dim_c
         return np.sort(vdofs)
 
     def zero_dof_ids(self):
-        lex_dofs, comps = np.nonzero(self.zero_mask)
-        vdofs = self.fes.perm_lex_to_mfem[lex_dofs] * self.dim + comps
+        dofs, comps = np.nonzero(self.zero_mask)
+        if self.periodic:
+            vdofs = dofs * self.dim + comps
+        else:
+            vdofs = self.fes.perm_lex_to_mfem[dofs] * self.dim + comps
         return np.sort(vdofs)
+
+    def dof_map(self):
+        """Full mfem node index -> reduced dof id (NURBSExtension::DofMap
+        parity, py_solid.cpp:320-332)."""
+        inv = self.fes.inv_perm  # mfem -> lex
+        return self.red_index[inv]
 
 
 class _ContactFormView:

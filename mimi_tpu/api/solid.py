@@ -77,9 +77,11 @@ class Solid:
         return self._topo.lex_to_mfem(self._patch.n_ctrl())
 
     def dof_map(self, fe_space: str = "displacement") -> np.ndarray:
-        """NURBSExtension::DofMap parity: identity for non-periodic spaces
-        (py_solid.cpp:320-332 queries the internal dof permutation, which is
-        identity unless boundaries were connected)."""
+        """NURBSExtension::DofMap parity (py_solid.cpp:320-332): identity
+        for non-periodic spaces, full-node -> reduced-dof map when
+        boundaries are connected."""
+        if self._system is not None:
+            return self._system.dof_map()
         n = self._patch.n_ctrl_total()
         return np.arange(n, dtype=int)
 
@@ -182,6 +184,16 @@ class Solid:
 
     def fixed_point_advanced_vector_views(self):
         return self._require_system().fixed_point_advanced_vector_views()
+
+    def save_checkpoint(self, fname: str) -> None:
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(self, fname)
+
+    def load_checkpoint(self, fname: str) -> None:
+        from ..utils.checkpoint import load_checkpoint
+
+        load_checkpoint(self, fname)
 
     def advance_time2(self) -> None:
         sys = self._require_system()

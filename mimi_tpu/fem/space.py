@@ -407,3 +407,71 @@ class FESpace:
             for c in dims:
                 mask[sd, c] = True
         return mask
+
+
+def build_periodic_map(fes: "FESpace", periodic_pairs: dict):
+    """Dof identification for periodic boundaries
+    (`NURBSExtension::ConnectBoundaries` semantics,
+    py_nonlinear_solid.cpp:34-75; the pair ids are 1-based boundary
+    attributes, boundary_conditions.cpp:151-160).
+
+    Returns (red_index (n_dof,) mapping full scalar dof -> reduced dof id,
+    n_reduced, master (n_reduced,) full dof of each reduced dof).
+    Reduced ids are ordered by the MFEM dof id of the class master, so the
+    reduced numbering is deterministic and round-trips through dof_map().
+    """
+    n_dof = fes.n_dof
+    parent = np.arange(n_dof)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller mfem id as representative
+            if fes.perm_lex_to_mfem[ra] <= fes.perm_lex_to_mfem[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    nc = fes.n_ctrl
+    d = fes.para_dim
+    dof_grid = np.arange(n_dof).reshape(*nc[::-1]).transpose(
+        *range(d - 1, -1, -1)
+    )
+    sides_by_attr = {}
+    for attr, axis, end, sign in fes.sides:
+        sides_by_attr[attr] = (axis, end)
+    for b0, b1 in periodic_pairs.items():
+        if b0 not in sides_by_attr or b1 not in sides_by_attr:
+            raise ValueError(
+                f"periodic pair ({b0}, {b1}) references unknown boundary "
+                "attributes"
+            )
+        ax0, end0 = sides_by_attr[b0]
+        ax1, end1 = sides_by_attr[b1]
+        if ax0 != ax1:
+            raise NotImplementedError(
+                "periodic identification across different parametric axes"
+            )
+        sel0 = [slice(None)] * d
+        sel0[ax0] = 0 if end0 == 0 else nc[ax0] - 1
+        sel1 = [slice(None)] * d
+        sel1[ax1] = 0 if end1 == 0 else nc[ax1] - 1
+        d0 = dof_grid[tuple(sel0)].ravel()
+        d1 = dof_grid[tuple(sel1)].ravel()
+        for a, b in zip(d0, d1):
+            union(int(a), int(b))
+
+    reps = np.array([find(i) for i in range(n_dof)])
+    masters = np.unique(reps)
+    # order reduced ids by mfem id of the master
+    order = np.argsort(fes.perm_lex_to_mfem[masters], kind="stable")
+    masters = masters[order]
+    red_of_master = {int(m): r for r, m in enumerate(masters)}
+    red_index = np.array([red_of_master[int(reps[i])] for i in range(n_dof)])
+    return red_index, len(masters), masters

@@ -232,8 +232,10 @@ def make_step(
     """Fully jitted generalized-alpha step: carry -> carry.
 
     Newton runs a fixed trip count with the reference's 3-point-quadratic
-    line search; `solver` picks dense LU or matrix-free Jacobi-PCG (the
-    operator apply is a JVP of the assembled residual).
+    line search; `solver` picks dense LU ("dense") or matrix-free
+    Jacobi-preconditioned GMRES ("cg"/"iterative"; the operator apply
+    contracts the per-quad material tangent, shared with the Jacobi
+    diagonal).
     """
     mat = prob.material
     dim = prob.dim
@@ -260,12 +262,24 @@ def make_step(
         res_el = batched_res(u[conn], dNdX, wdet, state)
         return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
 
-    def elem_res_aux(u_el, dNdX_e, wdet_e, state_e):
-        r = elem_residual(u_el, dNdX_e, wdet_e, state_e)
-        return r, r
+    def pk1_and_tangent(Fq, state_q):
+        def fn(Fx):
+            P = mat.pk1(Fx, state_q, dt)
+            return P, P
 
-    elem_jac = jax.jacfwd(elem_res_aux, argnums=0, has_aux=True)
-    batched_jac = jax.vmap(elem_jac, in_axes=(0, 0, 0, 0))
+        C, P = jax.jacfwd(fn, has_aux=True)(Fq)
+        return P, C
+
+    def elem_res_and_tangent(u_el, dNdX_e, wdet_e, state_e):
+        F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
+        P, C = jax.vmap(pk1_and_tangent)(F, state_e)
+        r = jnp.einsum("q,qnd,qcd->nc", wdet_e, dNdX_e, P)
+        Kmat = jnp.einsum(
+            "q,qnd,qcdgf,qmf->ncmg", wdet_e, dNdX_e, C, dNdX_e
+        )
+        return r, Kmat
+
+    batched_jac = jax.vmap(elem_res_and_tangent, in_axes=(0, 0, 0, 0))
 
     def mass_apply(u):
         ue = u[conn]
@@ -279,7 +293,7 @@ def make_step(
 
     def res_and_grad_dense(aa, xa, va, state):
         temp_x = xa + fac0 * aa
-        jac_el, res_el = batched_jac(temp_x[conn], dNdX, wdet, state)
+        res_el, jac_el = batched_jac(temp_x[conn], dNdX, wdet, state)
         rE = jnp.zeros((n_dof, dim), aa.dtype).at[conn].add(res_el)
         y = (mass_apply(aa * free) + rE - rhs) * free
         n_el, nd = conn.shape
@@ -312,27 +326,59 @@ def make_step(
         return jax.lax.fori_loop(0, newton_iters, body, aa)
 
     def newton_cg(aa, xa, va, state):
+        m_diag = jnp.zeros(n_dof).at[conn].add(
+            jnp.einsum("enn->en", prob.mass_blocks)
+        )
+
         def body(i, aa):
             temp_x = xa + fac0 * aa
-            rE, E_jvp = jax.linearize(lambda x: E(x, state), temp_x)
+            # one tangent pass per Newton iteration: P (residual), C
+            # (material tangent) reused by every CG matvec and by the
+            # Jacobi diagonal
+            F = I + jnp.einsum("enc,eqnd->eqcd", temp_x[conn], dNdX)
+            P, C = jax.vmap(jax.vmap(pk1_and_tangent))(F, state)
+            res_el = jnp.einsum("eq,eqnd,eqcd->enc", wdet, dNdX, P)
+            rE = jnp.zeros((n_dof, dim), aa.dtype).at[conn].add(res_el)
             r = (mass_apply(aa * free) + rE - rhs) * free
+
+            def K_apply(w):
+                w_el = w[conn]  # (n_el, nd, dim)
+                dF = jnp.einsum("emg,eqmf->eqgf", w_el, dNdX)
+                dP = jnp.einsum("eqcdgf,eqgf->eqcd", C, dF)
+                y_el = jnp.einsum("eq,eqnd,eqcd->enc", wdet, dNdX, dP)
+                return jnp.zeros((n_dof, dim), w.dtype).at[conn].add(y_el)
 
             def J_apply(w_flat):
                 w = w_flat.reshape(n_dof, dim) * free
-                y = mass_apply(w) + fac0 * E_jvp(w)
+                y = mass_apply(w) + fac0 * K_apply(w)
                 return (
                     y * free + w_flat.reshape(n_dof, dim) * (1 - free)
                 ).reshape(-1)
 
-            # diagonal preconditioner: mass diag + fac0 * K diag
-            m_diag = jnp.zeros(n_dof).at[conn].add(
-                jnp.einsum("enn->en", prob.mass_blocks)
+            # true Jacobi diagonal: mass + fac0 * K diagonal from C
+            k_diag_el = jnp.einsum(
+                "eq,eqnd,eqcdcf,eqnf->enc", wdet, dNdX, C, dNdX
             )
-            diag = jnp.repeat(m_diag, dim)  # K-diag omitted (cheap Jacobi)
+            k_diag = (
+                jnp.zeros((n_dof, dim), aa.dtype).at[conn].add(k_diag_el)
+            )
+            diag = (m_diag[:, None] + fac0 * k_diag).reshape(-1)
             diag = jnp.where(free.reshape(-1) > 0, diag, 1.0)
-            c = pcg(J_apply, r.reshape(-1), diag, max_iter=cg_iters).reshape(
-                n_dof, dim
+            # the consistent tangent is nonsymmetric at plastic states
+            # (rate/thermo coupling), so use GMRES like the reference's
+            # iterative option (py_nonlinear_solid.cpp:330-343), Jacobi-
+            # preconditioned
+            c, _ = jax.scipy.sparse.linalg.gmres(
+                J_apply,
+                r.reshape(-1),
+                tol=1e-8,
+                atol=1e-12,
+                restart=30,
+                maxiter=max(1, cg_iters // 30),
+                M=lambda v: v / diag,
+                solve_method="batched",
             )
+            c = c.reshape(n_dof, dim)
             q1 = jnp.linalg.norm(r)
             q3 = jnp.linalg.norm(residual(aa - c, xa, va, state))
             q2 = jnp.linalg.norm(residual(aa - 0.5 * c, xa, va, state))

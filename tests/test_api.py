@@ -183,3 +183,89 @@ def test_newton_final_norms():
     rel, absn = nl.newton_final_norms()
     assert absn < 1e-8
     assert rel < 1e-8
+
+
+def test_periodic_boundaries():
+    """ConnectBoundaries semantics: left-right dof identification on the
+    beam; displacements on the two connected edges stay identical."""
+    nl = _basic("balken.mesh", elevate=1, subdivide=1)
+    bc = mimi.BoundaryConditions()
+    bc.initial.dirichlet(0, 0).dirichlet(0, 1)  # fix bottom edge
+    bc.initial.body_force(1, -5)
+    bc.initial.periodic(3, 4)  # 1-based attrs: left <-> right
+    nl.boundary_condition = bc
+    nl.setup(1)
+    sysm = nl._system
+    assert sysm.n_dof == sysm.fes.n_dof - 4  # 4 identified pairs (4x4 grid)
+    dm = nl.dof_map()
+    assert len(dm) == sysm.fes.n_dof
+    assert len(np.unique(dm)) == sysm.n_dof
+    nl.time_step_size = 0.05
+    for _ in range(3):
+        nl.step_time2()
+    u = np.asarray(sysm.u)
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() > 1e-6  # it moved
+    # connected edges share dofs: gather full-space solution, edges equal
+    left = sysm.fes.side_dofs(2)
+    right = sysm.fes.side_dofs(3)
+    u_full = u[sysm.red_index]
+    assert np.allclose(u_full[left], u_full[right])
+
+
+def test_checkpoint_resume(tmp_path):
+    """Full-state save/resume: a resumed run must continue bit-identically
+    (a capability the reference lacks; SURVEY.md §5)."""
+    def mk(mat_cls=mimi.J2):
+        nl = mimi.NonlinearSolid()
+        nl.read_mesh(os.path.join(DATA, "balken.mesh"))
+        nl.elevate_degrees(2)
+        nl.subdivide(1)
+        mat = mat_cls()
+        mat.density = 1
+        mat.viscosity = -1
+        mat.melting_temperature = 1500
+        mat.initial_temperature = 20
+        mat.specific_heat = 450
+        mat.heat_fraction = 0.9
+        mat.set_young_poisson(2100, 0.3)
+        h = mimi.JohnsonCookTemperatureAndRateDependentHardening()
+        h.A, h.B, h.n, h.m = 70, 140, 0.2835, 1.3558
+        h.eps0_dot = 0.004
+        h.reference_temperature = 20
+        mat.hardening = h
+        nl.set_material(mat)
+        rc = mimi.RuntimeCommunication()
+        rc.set_real("ode_coefficient", 0.5)
+        nl.runtime_communication = rc
+        bc = mimi.BoundaryConditions()
+        bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+        bc.initial.body_force(1, -3)
+        nl.boundary_condition = bc
+        nl.setup(1)
+        nl.configure_newton("nonlinear_solid", 1e-12, 1e-8, 10, False)
+        nl.time_step_size = 0.5
+        return nl
+
+    a = mk()
+    for _ in range(3):
+        a.step_time2()
+    ckpt = str(tmp_path / "state.npz")
+    a.save_checkpoint(ckpt)
+    for _ in range(3):
+        a.step_time2()
+
+    b = mk()
+    b.load_checkpoint(ckpt)
+    assert np.isclose(b.current_time, 1.5)
+    for _ in range(3):
+        b.step_time2()
+
+    ua = np.asarray(a._system.u)
+    ub = np.asarray(b._system.u)
+    assert np.allclose(ua, ub, atol=1e-14), np.abs(ua - ub).max()
+    # plastic state resumed too
+    assert np.allclose(
+        np.asarray(a._system.state["eqps"]),
+        np.asarray(b._system.state["eqps"]),
+    )

@@ -30,7 +30,7 @@ import numpy as np
 from .hardening import Hardening  # noqa: F401
 from .logm import expm_sym, logm_sym
 from .scalar_solve import make_scalar_solver
-from .tensor import dev, elastic_strain, fro_norm
+from .tensor import dev, elastic_strain, fro_norm, det_small, inv_small
 
 _K_TOL = 1.0e-10
 
@@ -86,8 +86,8 @@ class Material:
 
 def _pk1_from_cauchy(sigma, F):
     """P = det(F) sigma F^{-T} (materials.cpp:60-71)."""
-    J = jnp.linalg.det(F)
-    return J * sigma @ jnp.linalg.inv(F).T
+    J = det_small(F)
+    return J * sigma @ inv_small(F).T
 
 
 class StVenantKirchhoff(Material):
@@ -103,7 +103,7 @@ class CompressibleOgdenNeoHookean(Material):
     def pk1(self, F, state, dt):
         d = F.shape[-1]
         I = jnp.eye(d, dtype=F.dtype)
-        J = jnp.linalg.det(F)
+        J = det_small(F)
         B = F @ F.T
         mu_over_J = self.mu / J
         sigma = mu_over_J * B + (-mu_over_J + self.lambda_ * (J - 1.0)) * I
@@ -309,9 +309,9 @@ class J2Simo(_J2ThermoBase):
         # f = F F_old^{-1};  f_bar = f * cbrt(det f)  — exactly as the
         # reference computes it (materials.hpp:484-486: CalcInverse then
         # `f_bar *= cbrt(f_bar.Det())`)
-        f_inv = state["F_old"] @ jnp.linalg.inv(F)
-        f_bar = jnp.linalg.inv(f_inv)
-        f_bar = f_bar * jnp.cbrt(jnp.linalg.det(f_bar))
+        f_inv = state["F_old"] @ inv_small(F)
+        f_bar = inv_small(f_inv)
+        f_bar = f_bar * jnp.cbrt(det_small(f_bar))
         be = f_bar @ state["be_old"] @ f_bar.T
         s = dev(be, self.G)
         s_norm = fro_norm(s)
@@ -338,9 +338,9 @@ class J2Simo(_J2ThermoBase):
     def pk1(self, F, state, dt):
         d = F.shape[-1]
         be, s, q, delta, active = self._return_map(F, state, dt)
-        J = jnp.linalg.det(F)
+        J = det_small(F)
         tau = s + self.K * (J * J - 1.0) * 0.5 * jnp.eye(d, dtype=F.dtype)
-        return tau @ jnp.linalg.inv(F).T
+        return tau @ inv_small(F).T
 
     def accumulate(self, F, state, dt):
         be, s, q, delta, active = self._return_map(F, state, dt)
@@ -405,9 +405,9 @@ class J2Log(_J2ThermoBase):
     def pk1(self, F, state, dt):
         d = F.shape[-1]
         p, s, q, delta, active, exp_inc = self._return_map(F, state, dt)
-        J = jnp.linalg.det(F)
+        J = det_small(F)
         M = s + (p / J) * jnp.eye(d, dtype=F.dtype)
-        return J * M @ jnp.linalg.inv(F).T
+        return J * M @ inv_small(F).T
 
     def accumulate(self, F, state, dt):
         p, s, q, delta, active, exp_inc = self._return_map(F, state, dt)

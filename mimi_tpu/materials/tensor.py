@@ -43,3 +43,47 @@ def exp_sym(A):
     """Matrix exponential of a symmetric matrix via eigendecomposition."""
     lam, Q = jnp.linalg.eigh(A)
     return (Q * jnp.exp(lam)) @ Q.T
+
+
+def det_small(A):
+    """Closed-form determinant for 2x2/3x3 (jnp.linalg.det lowers to a
+    generic pivoted LU on TPU — catastrophically slow for tiny batched
+    matrices on the critical path)."""
+    d = A.shape[-1]
+    if d == 2:
+        return A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    if d == 3:
+        return (
+            A[..., 0, 0]
+            * (A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1])
+            - A[..., 0, 1]
+            * (A[..., 1, 0] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 0])
+            + A[..., 0, 2]
+            * (A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0])
+        )
+    return jnp.linalg.det(A)
+
+
+def inv_small(A):
+    """Closed-form (adjugate) inverse for 2x2/3x3."""
+    d = A.shape[-1]
+    if d == 2:
+        det = det_small(A)
+        row0 = jnp.stack([A[..., 1, 1], -A[..., 0, 1]], axis=-1)
+        row1 = jnp.stack([-A[..., 1, 0], A[..., 0, 0]], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) / det[..., None, None]
+    if d == 3:
+        det = det_small(A)
+        c = lambda i1, j1, i2, j2: (
+            A[..., i1, j1] * A[..., i2, j2] - A[..., i1, j2] * A[..., i2, j1]
+        )
+        adj = jnp.stack(
+            [
+                jnp.stack([c(1, 1, 2, 2), c(0, 2, 2, 1), c(0, 1, 1, 2)], -1),
+                jnp.stack([c(1, 2, 2, 0), c(0, 0, 2, 2), c(0, 2, 1, 0)], -1),
+                jnp.stack([c(1, 0, 2, 1), c(0, 1, 2, 0), c(0, 0, 1, 1)], -1),
+            ],
+            axis=-2,
+        )
+        return adj / det[..., None, None]
+    return jnp.linalg.inv(A)

@@ -4,8 +4,9 @@ compiled implicit Newton step (flagship 3D J2 plasticity solid).
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: 3D cube patch, p=2 (elevate 1), `MIMI_BENCH_SUBDIV` uniform
-refinements (default 3 -> 512 elements, 64 quad points each; the remote
-TPU compiler currently scales poorly beyond that — see ROADMAP), J2
+refinements (default 3 -> 512 elements, 64 quad points each; subdiv 4 =
+4096 elements also completes and measures ~66-78x host CPU, but the
+in-bench CPU baseline makes it a ~15-minute run), J2
 plasticity with Johnson-Cook hardening, generalized-alpha steps with
 4 fixed Newton iterations (matrix-free Jacobi-PCG linear solves and the
 reference's 3-point line search), float32.
@@ -100,10 +101,9 @@ def main():
     prob = _build(subdiv)
     qp_total = prob.n_el * prob.n_q
 
-    step_fn = sh.make_step(
+    step = sh.make_step(
         prob, dt=0.05, newton_iters=NEWTON_ITERS, solver="cg", cg_iters=150
     )
-    step = jax.jit(step_fn)
     wall = _time_steps(prob, step, n_steps)
     per_step = wall / n_steps
     evals_per_sec = qp_total * RES_EVALS_PER_STEP / per_step
@@ -114,10 +114,10 @@ def main():
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             prob_cpu = _build(subdiv)
-            step_cpu = jax.jit(sh.make_step(
+            step_cpu = sh.make_step(
                 prob_cpu, dt=0.05, newton_iters=NEWTON_ITERS,
                 solver="cg", cg_iters=150,
-            ))
+            )
             n_cpu = max(1, min(2, n_steps))
             wall_cpu = _time_steps(prob_cpu, step_cpu, n_cpu)
             vs_baseline = (wall_cpu / n_cpu) / per_step

@@ -34,6 +34,15 @@ from ..solvers import ode as ode_mod
 from .solid import Solid
 
 
+def _scalar_block_diag(blocks, conn, n_dof):
+    """Scalar-dof diagonal of a component-block-diagonal operator."""
+    import numpy as _np
+
+    d = _np.zeros(n_dof)
+    _np.add.at(d, conn, _np.einsum("enn->en", blocks))
+    return d
+
+
 class _DynamicDirichlet:
     """Constant-velocity dynamic Dirichlet
     (boundary_conditions.cpp:204-291): at alpha level set aa=0, va=v,
@@ -111,10 +120,21 @@ class _System:
         self.free = jnp.asarray(~self.zero_mask, dtype=dtype)
         zm_flat = self.zero_mask.ravel()
         free_flat = ~zm_flat
-        self._free_outer = jnp.asarray(
-            np.outer(free_flat, free_flat), dtype=dtype
-        )
-        self._dir_diag = jnp.asarray(np.diag(zm_flat.astype(float)), dtype)
+        # solver mode: dense LU (UMFPACK analog) for reference-scale
+        # systems, matrix-free GMRES beyond (or when requested via the
+        # reference's use_iterative_solver key)
+        self.use_iterative = bool(
+            rc.get_int("use_iterative_solver", 0)
+        ) or (n_dof * dim > int(
+            rc.get_int("dense_solver_max_vdofs", 6000)
+        ))
+        if not self.use_iterative:
+            self._free_outer = jnp.asarray(
+                np.outer(free_flat, free_flat), dtype=dtype
+            )
+            self._dir_diag = jnp.asarray(
+                np.diag(zm_flat.astype(float)), dtype
+            )
 
         # ---- material + domain kernels ----
         material.setup(dim)
@@ -144,12 +164,17 @@ class _System:
         self._mass_apply = K.make_block_apply(
             mass_blocks, mass_tables.conn, n_dof, dim
         )
-        self._mass_dense = jnp.asarray(
-            K.dense_from_scalar_blocks(
-                mass_blocks, mass_tables.conn, n_dof, dim
-            ),
-            dtype,
+        self._mass_conn = jnp.asarray(mass_tables.conn)
+        self._mass_diag = jnp.asarray(
+            _scalar_block_diag(mass_blocks, mass_tables.conn, n_dof), dtype
         )
+        if not self.use_iterative:
+            self._mass_dense = jnp.asarray(
+                K.dense_from_scalar_blocks(
+                    mass_blocks, mass_tables.conn, n_dof, dim
+                ),
+                dtype,
+            )
         self.has_viscosity = material.viscosity > 0.0
         if self.has_viscosity:
             visc_blocks = K.scalar_blocks_diffusion(
@@ -158,12 +183,17 @@ class _System:
             self._visc_apply = K.make_block_apply(
                 visc_blocks, mass_tables.conn, n_dof, dim
             )
-            self._visc_dense = jnp.asarray(
-                K.dense_from_scalar_blocks(
-                    visc_blocks, mass_tables.conn, n_dof, dim
-                ),
+            self._visc_diag = jnp.asarray(
+                _scalar_block_diag(visc_blocks, mass_tables.conn, n_dof),
                 dtype,
             )
+            if not self.use_iterative:
+                self._visc_dense = jnp.asarray(
+                    K.dense_from_scalar_blocks(
+                        visc_blocks, mass_tables.conn, n_dof, dim
+                    ),
+                    dtype,
+                )
 
         # ---- rhs linear form (body force + traction) ----
         self.rhs = jnp.asarray(self._assemble_rhs(bc), dtype)
@@ -189,7 +219,6 @@ class _System:
         # ---- solvers ----
         self.newton = LineSearchNewton()
         self.newton.configure(1e-8, 1e-12, dim * 10, False)
-        self.use_iterative = bool(rc.get_int("use_iterative_solver", 0))
 
         # ---- ode ----
         rho_inf = rc.get_real("ode_coefficient", 0.25)
@@ -257,9 +286,12 @@ class _System:
         E_res = self._E_residual
         E_res_blocks = self._E_res_blocks
         free = self.free
-        free_outer = self._free_outer
-        dir_diag = self._dir_diag
+        iterative = self.use_iterative
+        if not iterative:
+            free_outer = self._free_outer
+            dir_diag = self._dir_diag
         conn = jnp.asarray(self.tables.conn)
+        free_flat = free.reshape(-1)
 
         def penalties():
             return [blk.scene.coefficient for blk in contact]
@@ -289,12 +321,24 @@ class _System:
                 y = y + self._visc_apply((va + fac1 * aa) * free)
             rE, blocksE = E_res_blocks(temp_x, state, dt)
             y = y + rE
+            auxes = []
+            cblocks = []
+            if iterative:
+                for blk, data, pen in zip(contact, cdata, pens):
+                    r_c, blocks_c, aux = blk.add_residual_and_blocks(
+                        temp_x, n_dof, data, pen
+                    )
+                    y = y + r_c
+                    cblocks.append(blocks_c)
+                    auxes.append(aux)
+                y = (y - rhs) * free
+                J = {"K": blocksE, "C": cblocks, "fac0": fac0, "fac1": fac1}
+                return y, J, auxes
             J = self._mass_dense + fac0 * K.scatter_dense_vblocks(
                 blocksE, conn, n_dof, dim
             )
             if has_visc:
                 J = J + fac1 * self._visc_dense
-            auxes = []
             for blk, data, pen in zip(contact, cdata, pens):
                 r_c, blocks_c, aux = blk.add_residual_and_blocks(
                     temp_x, n_dof, data, pen
@@ -308,8 +352,70 @@ class _System:
             J = J * free_outer + dir_diag
             return y, J, auxes
 
-        def solve_linear(J, r):
-            return jnp.linalg.solve(J, r.reshape(-1)).reshape(n_dof, dim)
+        def _vblock_apply(blocks, bconn, w):
+            """y += blocks @ w gathered over element vdofs; blocks
+            (n_e, nd*dim, nd*dim), bconn (n_e, nd) scalar dofs."""
+            w_el = w[bconn].reshape(bconn.shape[0], -1)
+            y_el = jnp.einsum("eab,eb->ea", blocks, w_el).reshape(
+                bconn.shape[0], -1, dim
+            )
+            return jnp.zeros((n_dof, dim), w.dtype).at[bconn].add(y_el)
+
+        def _vblock_diag(blocks, bconn):
+            d_el = jnp.einsum("eaa->ea", blocks).reshape(
+                bconn.shape[0], -1, dim
+            )
+            return jnp.zeros((n_dof, dim)).at[bconn].add(d_el)
+
+        if iterative:
+            contact_conns = [blk.conn_j for blk in contact]
+
+            def solve_linear(J, r):
+                fac0 = J["fac0"]
+                fac1 = J["fac1"]
+
+                def J_apply(w_flat):
+                    w = w_flat.reshape(n_dof, dim) * free
+                    y = mass_apply(w) + fac0 * _vblock_apply(
+                        J["K"], conn, w
+                    )
+                    if has_visc:
+                        y = y + fac1 * self._visc_apply(w)
+                    for cb, cc in zip(J["C"], contact_conns):
+                        y = y + fac0 * _vblock_apply(cb, cc, w)
+                    return (
+                        y * free
+                        + w_flat.reshape(n_dof, dim) * (1 - free)
+                    ).reshape(-1)
+
+                diag = self._mass_diag[:, None] + fac0 * _vblock_diag(
+                    J["K"], conn
+                )
+                if has_visc:
+                    diag = diag + fac1 * self._visc_diag[:, None]
+                for cb, cc in zip(J["C"], contact_conns):
+                    diag = diag + fac0 * _vblock_diag(cb, cc)
+                diag = jnp.where(free_flat > 0, diag.reshape(-1), 1.0)
+                # GMRES like the reference's iterative option
+                # (py_nonlinear_solid.cpp:330-343), Jacobi-preconditioned
+                c, _ = jax.scipy.sparse.linalg.gmres(
+                    J_apply,
+                    r.reshape(-1),
+                    tol=1e-8,
+                    atol=1e-12,
+                    restart=50,
+                    maxiter=6,
+                    M=lambda v: v / diag,
+                    solve_method="batched",
+                )
+                return c.reshape(n_dof, dim)
+
+        else:
+
+            def solve_linear(J, r):
+                return jnp.linalg.solve(J, r.reshape(-1)).reshape(
+                    n_dof, dim
+                )
 
         def explicit_accel(u, v, state, dt, cdata, pens, rhs):
             z = E_res(u, state, dt)
@@ -325,10 +431,21 @@ class _System:
             # the discrete trajectory maximally close to its goldens.
             from ..solvers.pcg import jacobi_pcg
 
-            M_elim = self._mass_dense * free_outer + dir_diag
+            def M_elim_apply(w_flat):
+                w = w_flat.reshape(n_dof, dim) * free
+                y = mass_apply(w)
+                return (
+                    y * free + w_flat.reshape(n_dof, dim) * (1 - free)
+                ).reshape(-1)
+
+            m_diag = jnp.where(
+                free_flat > 0,
+                jnp.repeat(self._mass_diag, dim),
+                1.0,
+            )
             a = jacobi_pcg(
-                lambda p_: M_elim @ p_,
-                jnp.diagonal(M_elim),
+                M_elim_apply,
+                m_diag,
                 z.reshape(-1),
                 rel_tol=1e-8,
                 abs_tol=1e-12,

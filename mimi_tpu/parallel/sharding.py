@@ -236,31 +236,31 @@ def make_step(
     Jacobi-preconditioned GMRES ("cg"/"iterative"; the operator apply
     contracts the per-quad material tangent, shared with the Jacobi
     diagonal).
+
+    All large arrays enter the compiled function as ARGUMENTS — embedding
+    them as closure constants makes XLA constant-fold mesh-sized dots at
+    compile time (observed: compile time exploding with element count).
+    The returned callable is already jitted; do not re-wrap it in jax.jit
+    (that would re-embed the arrays as constants).
     """
     mat = prob.material
     dim = prob.dim
     n_dof = prob.n_dof
-    conn = prob.conn
-    dNdX = prob.dN_dX
-    wdet = prob.w_detJ
-    free = prob.free
-    rhs = prob.rhs
     f = prob.facs
     I = jnp.eye(dim, dtype=prob.rhs.dtype)
     dt = float(dt)
     fac0 = f["fac3"] * dt * dt
     fac1 = f["fac4"] * dt
+    iterative = solver in ("cg", "iterative", "gmres")
 
-    def elem_residual(u_el, dNdX_e, wdet_e, state_e):
-        F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
-        P_ = jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))(F, state_e)
-        return jnp.einsum("q,qnd,qcd->nc", wdet_e, dNdX_e, P_)
-
-    batched_res = jax.vmap(elem_residual, in_axes=(0, 0, 0, 0))
-
-    def E(u, state):
-        res_el = batched_res(u[conn], dNdX, wdet, state)
-        return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
+    data = {
+        "conn": prob.conn,
+        "dNdX": prob.dN_dX,
+        "wdet": prob.w_detJ,
+        "mass_blocks": prob.mass_blocks,
+        "rhs": prob.rhs,
+        "free": prob.free,
+    }
 
     def pk1_and_tangent(Fq, state_q):
         def fn(Fx):
@@ -270,139 +270,145 @@ def make_step(
         C, P = jax.jacfwd(fn, has_aux=True)(Fq)
         return P, C
 
-    def elem_res_and_tangent(u_el, dNdX_e, wdet_e, state_e):
-        F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
-        P, C = jax.vmap(pk1_and_tangent)(F, state_e)
-        r = jnp.einsum("q,qnd,qcd->nc", wdet_e, dNdX_e, P)
-        Kmat = jnp.einsum(
-            "q,qnd,qcdgf,qmf->ncmg", wdet_e, dNdX_e, C, dNdX_e
-        )
-        return r, Kmat
+    def impl(carry, d):
+        conn = d["conn"]
+        dNdX = d["dNdX"]
+        wdet = d["wdet"]
+        mass_blocks = d["mass_blocks"]
+        rhs = d["rhs"]
+        free = d["free"]
 
-    batched_jac = jax.vmap(elem_res_and_tangent, in_axes=(0, 0, 0, 0))
+        def E(u, state):
+            F = I + jnp.einsum("enc,eqnd->eqcd", u[conn], dNdX)
+            P = jax.vmap(
+                jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))
+            )(F, state)
+            res_el = jnp.einsum("eq,eqnd,eqcd->enc", wdet, dNdX, P)
+            return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
 
-    def mass_apply(u):
-        ue = u[conn]
-        ye = jnp.einsum("enm,emc->enc", prob.mass_blocks, ue)
-        return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(ye)
+        def mass_apply(u):
+            ye = jnp.einsum("enm,emc->enc", mass_blocks, u[conn])
+            return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(ye)
 
-    def residual(aa, xa, va, state):
-        temp_x = xa + fac0 * aa
-        y = mass_apply(aa * free) + E(temp_x, state)
-        return (y - rhs) * free
+        def residual(aa, xa, va, state):
+            temp_x = xa + fac0 * aa
+            y = mass_apply(aa * free) + E(temp_x, state)
+            return (y - rhs) * free
 
-    def res_and_grad_dense(aa, xa, va, state):
-        temp_x = xa + fac0 * aa
-        res_el, jac_el = batched_jac(temp_x[conn], dNdX, wdet, state)
-        rE = jnp.zeros((n_dof, dim), aa.dtype).at[conn].add(res_el)
-        y = (mass_apply(aa * free) + rE - rhs) * free
-        n_el, nd = conn.shape
-        blocks = jac_el.reshape(n_el, nd * dim, nd * dim)
-        J = fac0 * K.scatter_dense_vblocks(blocks, conn, n_dof, dim)
-        J = J + K.dense_from_scalar_blocks_jnp(
-            prob.mass_blocks, conn, n_dof, dim
-        )
-        free_flat = free.reshape(-1)
-        J = J * jnp.outer(free_flat, free_flat) + jnp.diag(1.0 - free_flat)
-        return y, J
-
-    def newton_dense(aa, xa, va, state):
-        def body(i, aa):
-            r, J = res_and_grad_dense(aa, xa, va, state)
-            c = jnp.linalg.solve(J, r.reshape(-1)).reshape(n_dof, dim)
-            # 3-point line search (newton.cpp:138-178)
+        def line_search_scale(r, c, aa, xa, va, state):
             q1 = jnp.linalg.norm(r)
             q3 = jnp.linalg.norm(residual(aa - c, xa, va, state))
             q2 = jnp.linalg.norm(residual(aa - 0.5 * c, xa, va, state))
             denom = q1 - 2.0 * q2 + q3
             eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom)
-            scale = jnp.where(
+            return jnp.where(
                 (denom > 0) & (eps > 0) & (eps < 1),
                 eps,
                 jnp.where(q3 < q1, 1.0, 0.05),
             )
-            return aa - scale * c
 
-        return jax.lax.fori_loop(0, newton_iters, body, aa)
-
-    def newton_cg(aa, xa, va, state):
-        m_diag = jnp.zeros(n_dof).at[conn].add(
-            jnp.einsum("enn->en", prob.mass_blocks)
-        )
-
-        def body(i, aa):
+        def assemble_PC(aa, xa, state):
             temp_x = xa + fac0 * aa
-            # one tangent pass per Newton iteration: P (residual), C
-            # (material tangent) reused by every CG matvec and by the
-            # Jacobi diagonal
             F = I + jnp.einsum("enc,eqnd->eqcd", temp_x[conn], dNdX)
             P, C = jax.vmap(jax.vmap(pk1_and_tangent))(F, state)
             res_el = jnp.einsum("eq,eqnd,eqcd->enc", wdet, dNdX, P)
             rE = jnp.zeros((n_dof, dim), aa.dtype).at[conn].add(res_el)
-            r = (mass_apply(aa * free) + rE - rhs) * free
+            return rE, C
 
-            def K_apply(w):
-                w_el = w[conn]  # (n_el, nd, dim)
-                dF = jnp.einsum("emg,eqmf->eqgf", w_el, dNdX)
-                dP = jnp.einsum("eqcdgf,eqgf->eqcd", C, dF)
-                y_el = jnp.einsum("eq,eqnd,eqcd->enc", wdet, dNdX, dP)
-                return jnp.zeros((n_dof, dim), w.dtype).at[conn].add(y_el)
+        def newton_dense(aa, xa, va, state):
+            def body(i, aa):
+                rE, C = assemble_PC(aa, xa, state)
+                r = (mass_apply(aa * free) + rE - rhs) * free
+                blocks = jnp.einsum(
+                    "eq,eqnd,eqcdgf,eqmf->encmg", wdet, dNdX, C, dNdX
+                )
+                n_el, nd = conn.shape
+                blocks = blocks.reshape(n_el, nd * dim, nd * dim)
+                J = fac0 * K.scatter_dense_vblocks(
+                    blocks, conn, n_dof, dim
+                ) + K.dense_from_scalar_blocks_jnp(
+                    mass_blocks, conn, n_dof, dim
+                )
+                free_flat = free.reshape(-1)
+                J = J * jnp.outer(free_flat, free_flat) + jnp.diag(
+                    1.0 - free_flat
+                )
+                c = jnp.linalg.solve(J, r.reshape(-1)).reshape(n_dof, dim)
+                scale = line_search_scale(r, c, aa, xa, va, state)
+                return aa - scale * c
 
-            def J_apply(w_flat):
-                w = w_flat.reshape(n_dof, dim) * free
-                y = mass_apply(w) + fac0 * K_apply(w)
-                return (
-                    y * free + w_flat.reshape(n_dof, dim) * (1 - free)
-                ).reshape(-1)
+            return jax.lax.fori_loop(0, newton_iters, body, aa)
 
-            # true Jacobi diagonal: mass + fac0 * K diagonal from C
-            k_diag_el = jnp.einsum(
-                "eq,eqnd,eqcdcf,eqnf->enc", wdet, dNdX, C, dNdX
+        def newton_gmres(aa, xa, va, state):
+            m_diag = jnp.zeros(n_dof).at[conn].add(
+                jnp.einsum("enn->en", mass_blocks)
             )
-            k_diag = (
-                jnp.zeros((n_dof, dim), aa.dtype).at[conn].add(k_diag_el)
-            )
-            diag = (m_diag[:, None] + fac0 * k_diag).reshape(-1)
-            diag = jnp.where(free.reshape(-1) > 0, diag, 1.0)
-            # the consistent tangent is nonsymmetric at plastic states
-            # (rate/thermo coupling), so use GMRES like the reference's
-            # iterative option (py_nonlinear_solid.cpp:330-343), Jacobi-
-            # preconditioned
-            c, _ = jax.scipy.sparse.linalg.gmres(
-                J_apply,
-                r.reshape(-1),
-                tol=1e-8,
-                atol=1e-12,
-                restart=30,
-                maxiter=max(1, cg_iters // 30),
-                M=lambda v: v / diag,
-                solve_method="batched",
-            )
-            c = c.reshape(n_dof, dim)
-            q1 = jnp.linalg.norm(r)
-            q3 = jnp.linalg.norm(residual(aa - c, xa, va, state))
-            q2 = jnp.linalg.norm(residual(aa - 0.5 * c, xa, va, state))
-            denom = q1 - 2.0 * q2 + q3
-            eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom)
-            scale = jnp.where(
-                (denom > 0) & (eps > 0) & (eps < 1),
-                eps,
-                jnp.where(q3 < q1, 1.0, 0.05),
-            )
-            return aa - scale * c
 
-        return jax.lax.fori_loop(0, newton_iters, body, aa)
+            def body(i, aa):
+                rE, C = assemble_PC(aa, xa, state)
+                r = (mass_apply(aa * free) + rE - rhs) * free
 
-    newton = newton_dense if solver == "dense" else newton_cg
+                def K_apply(w):
+                    w_el = w[conn]
+                    dF = jnp.einsum("emg,eqmf->eqgf", w_el, dNdX)
+                    dP = jnp.einsum("eqcdgf,eqgf->eqcd", C, dF)
+                    y_el = jnp.einsum(
+                        "eq,eqnd,eqcd->enc", wdet, dNdX, dP
+                    )
+                    return (
+                        jnp.zeros((n_dof, dim), w.dtype)
+                        .at[conn]
+                        .add(y_el)
+                    )
 
-    def elem_accumulate(u_el, dNdX_e, state_e):
-        F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
-        return jax.vmap(lambda Fq, sq: mat.accumulate(Fq, sq, dt))(
-            F, state_e
+                def J_apply(w_flat):
+                    w = w_flat.reshape(n_dof, dim) * free
+                    y = mass_apply(w) + fac0 * K_apply(w)
+                    return (
+                        y * free
+                        + w_flat.reshape(n_dof, dim) * (1 - free)
+                    ).reshape(-1)
+
+                k_diag_el = jnp.einsum(
+                    "eq,eqnd,eqcdcf,eqnf->enc", wdet, dNdX, C, dNdX
+                )
+                k_diag = (
+                    jnp.zeros((n_dof, dim), aa.dtype)
+                    .at[conn]
+                    .add(k_diag_el)
+                )
+                diag = (m_diag[:, None] + fac0 * k_diag).reshape(-1)
+                diag = jnp.where(free.reshape(-1) > 0, diag, 1.0)
+                c, _ = jax.scipy.sparse.linalg.gmres(
+                    J_apply,
+                    r.reshape(-1),
+                    tol=1e-8,
+                    atol=1e-12,
+                    restart=30,
+                    maxiter=max(1, cg_iters // 30),
+                    M=lambda v: v / diag,
+                    solve_method="batched",
+                )
+                c = c.reshape(n_dof, dim)
+                scale = line_search_scale(r, c, aa, xa, va, state)
+                return aa - scale * c
+
+            return jax.lax.fori_loop(0, newton_iters, body, aa)
+
+        newton = newton_gmres if iterative else newton_dense
+
+        def elem_accumulate(u_el, dNdX_e, state_e):
+            F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
+            return jax.vmap(
+                lambda Fq, sq: mat.accumulate(Fq, sq, dt)
+            )(F, state_e)
+
+        u, v, a, state = (
+            carry["u"],
+            carry["v"],
+            carry["a"],
+            carry["state"],
         )
-
-    def step(carry):
-        u, v, a, state = carry["u"], carry["v"], carry["a"], carry["state"]
         prev_fac = 1.0 - f["fac1_inv"]
         xa = u + (v + f["fac0"] * dt * a) * f["fac1"] * dt
         va = v + f["fac2"] * dt * a
@@ -418,8 +424,12 @@ def make_step(
             )
         return {"u": u, "v": v, "a": a, "state": state}
 
-    return step
+    jitted = jax.jit(impl)
 
+    def step(carry):
+        return jitted(carry, data)
+
+    return step
 
 def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
     """Places element-axis arrays sharded over mesh axis 'e', dof arrays
@@ -451,17 +461,21 @@ def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
 def make_forward(prob: Problem, dt: float):
     """Jittable forward operator: the Newton residual
     y = M aa + E(xa + fac0 aa) - f with Dirichlet rows masked.  Used by the
-    single-chip compile check."""
+    single-chip compile check.  Large arrays are bound as call-time
+    arguments (see make_step note on XLA constant folding)."""
     mat = prob.material
     dim = prob.dim
     n_dof = prob.n_dof
-    conn = prob.conn
-    dNdX = prob.dN_dX
-    wdet = prob.w_detJ
-    free = prob.free
-    rhs = prob.rhs
     I = jnp.eye(dim, dtype=prob.rhs.dtype)
     fac0 = prob.facs["fac3"] * dt * dt
+    data = {
+        "conn": prob.conn,
+        "dNdX": prob.dN_dX,
+        "wdet": prob.w_detJ,
+        "mass_blocks": prob.mass_blocks,
+        "rhs": prob.rhs,
+        "free": prob.free,
+    }
 
     def elem_residual(u_el, dNdX_e, wdet_e, state_e):
         F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
@@ -470,15 +484,19 @@ def make_forward(prob: Problem, dt: float):
 
     batched_res = jax.vmap(elem_residual, in_axes=(0, 0, 0, 0))
 
-    def mass_apply(u):
-        ye = jnp.einsum("enm,emc->enc", prob.mass_blocks, u[conn])
-        return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(ye)
+    def impl(aa, xa, va, state, d):
+        conn = d["conn"]
+        res_el = batched_res(
+            (xa + fac0 * aa)[conn], d["dNdX"], d["wdet"], state
+        )
+        ye = jnp.einsum("enm,emc->enc", d["mass_blocks"], (aa * d["free"])[conn])
+        y = jnp.zeros((n_dof, dim), aa.dtype).at[conn].add(ye)
+        y = y.at[conn].add(res_el)
+        return (y - d["rhs"]) * d["free"]
+
+    jitted = jax.jit(impl)
 
     def forward(aa, xa, va, state):
-        temp_x = xa + fac0 * aa
-        res_el = batched_res(temp_x[conn], dNdX, wdet, state)
-        y = mass_apply(aa * free)
-        y = y.at[conn].add(res_el)
-        return (y - rhs) * free
+        return jitted(aa, xa, va, state, data)
 
     return forward

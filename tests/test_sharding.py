@@ -59,7 +59,7 @@ def _run(mat, n_devices, n_steps=3):
     if n_devices > 1:
         mesh = Mesh(np.array(jax.devices()[:n_devices]), ("e",))
         prob = sh.shard_problem(prob, mesh)
-    step = jax.jit(sh.make_step(prob, 0.5, newton_iters=5, solver="dense"))
+    step = (sh.make_step(prob, 0.5, newton_iters=5, solver="dense"))
     carry = sh.initial_carry(prob)
     for _ in range(n_steps):
         carry = step(carry)

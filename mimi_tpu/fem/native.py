@@ -72,6 +72,10 @@ def load_library():
         pd, pi, pd, pd, pd,
     ]
     lib.tensor_tables.restype = None
+    lib.geometry_tables.argtypes = [
+        i64, i64, i64, i64, pi, pd, pd, pd, pd, pd,
+    ]
+    lib.geometry_tables.restype = None
     lib.omp_thread_count.restype = ctypes.c_int
     _LIB = lib
     return lib
@@ -96,6 +100,27 @@ def dim_tables_native(kv, p, bps, xg, wg):
         kv, len(kv), p, bps, n_span, xg, wg, n_g, starts, uq, wq, B, D
     )
     return starts, uq, wq, B, D
+
+
+def geometry_tables_native(conn, dN_du, wq, x_ref):
+    """J/detJ/J^-1/dN_dX in one native pass; returns (dN_dX, w_detJ) or
+    None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n_el, n_q, n_dof, dim = dN_du.shape
+    if n_dof > 64:  # fixed-size element coordinate buffer in the C++ side
+        return None
+    conn = np.ascontiguousarray(conn, np.int64)
+    dN_du = np.ascontiguousarray(dN_du, np.float64)
+    wq = np.ascontiguousarray(wq, np.float64)
+    x_ref = np.ascontiguousarray(x_ref, np.float64)
+    dN_dX = np.zeros_like(dN_du)
+    w_detJ = np.zeros((n_el, n_q))
+    lib.geometry_tables(
+        n_el, n_q, n_dof, dim, conn, dN_du, wq, x_ref, dN_dX, w_detJ
+    )
+    return dN_dX, w_detJ
 
 
 def tensor_tables_native(tabs, weights_flat, n_ctrl):

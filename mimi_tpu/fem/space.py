@@ -307,16 +307,27 @@ class FESpace:
             n_g = order // 2 + 1
             tabs.append(_dim_tables(p.knot_vectors[k], p.degrees[k], n_g))
         conn, N, dN_du, wq = _tensor_basis(tabs, self.weights_grid)
-        # geometry jacobian dX/du and physical derivatives
+        # geometry jacobian dX/du and physical derivatives — native pass
+        # when available (single numpy einsums are minutes at 32k+ elems)
+        from . import native as _native
+
         n_el, n_q, n_dof = N.shape
-        d = self.para_dim
-        x = self.x_ref[conn]  # (n_el, n_dof, dim)
-        J = np.einsum("end,eqnk->eqdk", x, dN_du)  # dX_d/du_k
-        detJ = np.linalg.det(J)
-        Jinv = np.linalg.inv(J)  # du/dX
-        dN_dX = np.einsum("eqnk,eqkd->eqnd", dN_du, Jinv)
+        nat = _native.geometry_tables_native(conn, dN_du, wq, self.x_ref)
+        if nat is not None:
+            dN_dX, w_detJ = nat
+        else:
+            x = self.x_ref[conn]  # (n_el, n_dof, dim)
+            J = np.einsum(
+                "end,eqnk->eqdk", x, dN_du, optimize=True
+            )  # dX_d/du_k
+            detJ = np.linalg.det(J)
+            Jinv = np.linalg.inv(J)  # du/dX
+            dN_dX = np.einsum(
+                "eqnk,eqkd->eqnd", dN_du, Jinv, optimize=True
+            )
+            w_detJ = wq * detJ
         return DomainTables(
-            conn=conn, N=N, dN_dX=dN_dX, w_detJ=wq * detJ, n_q=n_q
+            conn=conn, N=N, dN_dX=dN_dX, w_detJ=w_detJ, n_q=n_q
         )
 
     # ---------- boundary tables ----------

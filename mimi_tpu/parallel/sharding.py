@@ -347,11 +347,23 @@ def make_step(
             def body(i, aa):
                 rE, C = assemble_PC(aa, xa, state)
                 r = (mass_apply(aa * free) + rE - rhs) * free
+                # store the material tangent (dim^2, dim^2, n_el*n_q)
+                # batch-major: four trailing size-`dim` axes would be
+                # lane-padded ~19x by XLA (observed HBM OOM at 32k
+                # elements); batch-last packs perfectly.
+                n_el, n_q = wdet.shape
+                d2 = dim * dim
+                Ct = (
+                    C.reshape(n_el * n_q, d2, d2)
+                    .transpose(1, 2, 0)
+                )
 
                 def K_apply(w):
                     w_el = w[conn]
                     dF = jnp.einsum("emg,eqmf->eqgf", w_el, dNdX)
-                    dP = jnp.einsum("eqcdgf,eqgf->eqcd", C, dF)
+                    dF_t = dF.reshape(n_el * n_q, d2).T  # (d2, eq)
+                    dP_t = jnp.einsum("abx,bx->ax", Ct, dF_t)
+                    dP = dP_t.T.reshape(n_el, n_q, dim, dim)
                     y_el = jnp.einsum(
                         "eq,eqnd,eqcd->enc", wdet, dNdX, dP
                     )

@@ -225,3 +225,65 @@ int omp_thread_count() {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Geometry stage: from parametric derivatives to physical ones.
+//   J = dX/du (dim x dim), detJ, dN/dX = dN/du * J^{-1}
+//   w_detJ = wq * detJ
+// x_ref: (n_ctrl_total, dim) lexicographic control points.
+void geometry_tables(int64_t n_el, int64_t n_q, int64_t n_dof, int64_t dim,
+                     const int64_t* conn, const double* dN_du,
+                     const double* wq, const double* x_ref, double* dN_dX,
+                     double* w_detJ) {
+#pragma omp parallel for schedule(static)
+  for (int64_t e = 0; e < n_el; ++e) {
+    // gather element coordinates
+    double xe[64 * 3];
+    for (int64_t n = 0; n < n_dof; ++n)
+      for (int64_t c = 0; c < dim; ++c)
+        xe[n * dim + c] = x_ref[conn[e * n_dof + n] * dim + c];
+    for (int64_t q = 0; q < n_q; ++q) {
+      const double* dn = &dN_du[((e * n_q + q) * n_dof) * dim];
+      double J[9] = {0};
+      for (int64_t n = 0; n < n_dof; ++n)
+        for (int64_t d = 0; d < dim; ++d)
+          for (int64_t k = 0; k < dim; ++k)
+            J[d * dim + k] += xe[n * dim + d] * dn[n * dim + k];
+      double det, Jinv[9];
+      if (dim == 2) {
+        det = J[0] * J[3] - J[1] * J[2];
+        const double inv = 1.0 / det;
+        Jinv[0] = J[3] * inv;
+        Jinv[1] = -J[1] * inv;
+        Jinv[2] = -J[2] * inv;
+        Jinv[3] = J[0] * inv;
+      } else {
+        det = J[0] * (J[4] * J[8] - J[5] * J[7]) -
+              J[1] * (J[3] * J[8] - J[5] * J[6]) +
+              J[2] * (J[3] * J[7] - J[4] * J[6]);
+        const double inv = 1.0 / det;
+        Jinv[0] = (J[4] * J[8] - J[5] * J[7]) * inv;
+        Jinv[1] = (J[2] * J[7] - J[1] * J[8]) * inv;
+        Jinv[2] = (J[1] * J[5] - J[2] * J[4]) * inv;
+        Jinv[3] = (J[5] * J[6] - J[3] * J[8]) * inv;
+        Jinv[4] = (J[0] * J[8] - J[2] * J[6]) * inv;
+        Jinv[5] = (J[2] * J[3] - J[0] * J[5]) * inv;
+        Jinv[6] = (J[3] * J[7] - J[4] * J[6]) * inv;
+        Jinv[7] = (J[1] * J[6] - J[0] * J[7]) * inv;
+        Jinv[8] = (J[0] * J[4] - J[1] * J[3]) * inv;
+      }
+      w_detJ[e * n_q + q] = wq[e * n_q + q] * det;
+      double* out = &dN_dX[((e * n_q + q) * n_dof) * dim];
+      for (int64_t n = 0; n < n_dof; ++n)
+        for (int64_t d = 0; d < dim; ++d) {
+          double acc = 0.0;
+          for (int64_t k = 0; k < dim; ++k)
+            acc += dn[n * dim + k] * Jinv[k * dim + d];
+          out[n * dim + d] = acc;
+        }
+    }
+  }
+}
+
+}  // extern "C"

@@ -140,3 +140,58 @@ def test_contact_force_balance():
     tr = blk.last_traction_residual
     assert tr is not None
     assert np.allclose(-tr.sum(axis=0), -blk.last_force, rtol=1e-8)
+
+
+def test_contact_3d_surface():
+    """3D contact: cube pressed from above by a rigid bilinear surface
+    (exercises the para_dim-2 closest-point and surface-normal paths)."""
+    nl = mimi.NonlinearSolid()
+    nl.read_mesh(os.path.join(DATA, "cube-nurbs.mesh"))
+    nl.elevate_degrees(1)
+    nl.subdivide(1)
+
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1e3
+    mat.viscosity = 100.0
+    mat.set_young_poisson(1e6, 0.3)
+    nl.set_material(mat)
+
+    # attr 2 (bid 1) is the top face z=1 (file: "2 3 4 5 6 7").  Tool:
+    # rigid plane above it; orientation so d1 x d2 points down (toward
+    # the solid): xi1 along +y, xi2 along +x gives n = -z.
+    tool = Bezier(
+        [1, 1],
+        [
+            [-0.5, -0.5, 1.02],  # (xi1, xi2) = (0, 0)
+            [-0.5, 1.5, 1.02],   # (1, 0): +y fast
+            [1.5, -0.5, 1.02],   # (0, 1): +x slow
+            [1.5, 1.5, 1.02],
+        ],
+    )
+    scene = mimi.NearestDistanceToSplines()
+    scene.add_spline(tool)
+    scene.plant_kd_tree(50, 1)
+    scene.coefficient = 5e7
+
+    bc = mimi.BoundaryConditions()
+    bc.initial.dirichlet(0, 0).dirichlet(0, 1).dirichlet(0, 2)  # bottom
+    bc.current.contact(1, scene)
+    nl.boundary_condition = bc
+    nl.setup(1)
+    nl.configure_newton("nonlinear_solid", 1e-10, 1e-8, 40, False)
+    nl.time_step_size = 0.01
+
+    for i in range(6):
+        tool.cps[:, 2] -= 0.01
+        scene.plant_kd_tree(50, 1)
+        nl.step_time2()
+
+    blk = nl._system.contact_blocks[0]
+    assert blk.last_pressure < 0.0
+    # force presses the cube down
+    assert blk.last_force[2] < 0.0
+    gn = blk.gap_norm(nl._system.u, scene.scene_data())
+    assert gn < 2e-2, gn
+    u = np.asarray(nl._system.u)
+    assert np.isfinite(u).all()
+    assert 1e-5 < np.abs(u).max() < 0.5

@@ -97,7 +97,8 @@ def scalar_blocks_mass(tables, coeff):
     import numpy as np
 
     return coeff * np.einsum(
-        "eqn,eqm,eq->enm", tables.N, tables.N, tables.w_detJ
+        "eqn,eqm,eq->enm", tables.N, tables.N, tables.w_detJ,
+        optimize=True,
     )
 
 
@@ -106,7 +107,8 @@ def scalar_blocks_diffusion(tables, coeff):
     import numpy as np
 
     return coeff * np.einsum(
-        "eqnd,eqmd,eq->enm", tables.dN_dX, tables.dN_dX, tables.w_detJ
+        "eqnd,eqmd,eq->enm", tables.dN_dX, tables.dN_dX, tables.w_detJ,
+        optimize=True,
     )
 
 

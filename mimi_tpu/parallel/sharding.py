@@ -91,10 +91,8 @@ def build_problem(
     material.setup(dim)
 
     tables = fes.domain_tables(-1)
-    p_max = max(patch.degrees)
-    mass_tables = fes.domain_tables(2 * p_max + dim * p_max - 1)
-    # use the same quadrature for mass as stiffness when padding for
-    # sharding (one conn array); exact for affine geometry
+    # mass shares the stiffness quadrature (one conn array for sharding;
+    # exact for affine geometry, the 2p+3 rule over-integrates mass)
     mass_blocks = K.scalar_blocks_mass(tables, material.density)
 
     zero_mask = fes.boundary_dof_mask(_merge_dirichlet(dirichlet))
@@ -102,7 +100,9 @@ def build_problem(
 
     rhs = np.zeros((n_dof, dim))
     if body_force:
-        nodal = np.einsum("eq,eqn->en", tables.w_detJ, tables.N)
+        nodal = np.einsum(
+            "eq,eqn->en", tables.w_detJ, tables.N, optimize=True
+        )
         acc = np.zeros(n_dof)
         np.add.at(acc, tables.conn, nodal)
         for c, val in body_force.items():
@@ -228,6 +228,7 @@ def make_step(
     newton_iters: int = 4,
     solver: str = "dense",
     cg_iters: int = 200,
+    chunk: int | None = None,
 ):
     """Fully jitted generalized-alpha step: carry -> carry.
 
@@ -252,6 +253,11 @@ def make_step(
     fac0 = f["fac3"] * dt * dt
     fac1 = f["fac4"] * dt
     iterative = solver in ("cg", "iterative", "gmres")
+    if chunk is not None and prob.n_el % chunk != 0:
+        raise ValueError(
+            f"chunk ({chunk}) must divide the padded element count "
+            f"({prob.n_el}); pass pad_multiple to build_problem"
+        )
 
     data = {
         "conn": prob.conn,
@@ -307,22 +313,67 @@ def make_step(
                 jnp.where(q3 < q1, 1.0, 0.05),
             )
 
-        def assemble_PC(aa, xa, state):
+        d2 = dim * dim
+        n_el, n_q = wdet.shape
+
+        def assemble_PC_t(aa, xa, state):
+            """Residual + material tangent, tangent returned batch-last
+            (d2, d2, n_el*n_q).  With `chunk` set, runs as lax.map over
+            element blocks so the jacfwd intermediates (whose tiny minor
+            dims XLA lane-pads ~19x) stay chunk-sized."""
             temp_x = xa + fac0 * aa
-            F = I + jnp.einsum("enc,eqnd->eqcd", temp_x[conn], dNdX)
-            P, C = jax.vmap(jax.vmap(pk1_and_tangent))(F, state)
-            res_el = jnp.einsum("eq,eqnd,eqcd->enc", wdet, dNdX, P)
-            rE = jnp.zeros((n_dof, dim), aa.dtype).at[conn].add(res_el)
-            return rE, C
+
+            def block(args):
+                conn_c, dN_c, w_c, st_c = args
+                F = I + jnp.einsum(
+                    "enc,eqnd->eqcd", temp_x[conn_c], dN_c
+                )
+                P, C = jax.vmap(jax.vmap(pk1_and_tangent))(F, st_c)
+                res_el = jnp.einsum("eq,eqnd,eqcd->enc", w_c, dN_c, P)
+                n_e_c = w_c.shape[0]
+                Ct = C.reshape(n_e_c * n_q, d2, d2).transpose(1, 2, 0)
+                return res_el, Ct
+
+            if chunk is None:
+                res_el, Ct = block((conn, dNdX, wdet, state))
+                rE = (
+                    jnp.zeros((n_dof, dim), aa.dtype)
+                    .at[conn]
+                    .add(res_el)
+                )
+                return rE, Ct
+            n_chunks = n_el // chunk
+
+            def resh(a):
+                return a.reshape(n_chunks, chunk, *a.shape[1:])
+
+            args = (
+                resh(conn),
+                resh(dNdX),
+                resh(wdet),
+                jax.tree.map(resh, state),
+            )
+            res_els, Cts = jax.lax.map(block, args)
+            rE = (
+                jnp.zeros((n_dof, dim), aa.dtype)
+                .at[conn]
+                .add(res_els.reshape(n_el, -1, dim))
+            )
+            # (n_chunks, d2, d2, chunk*n_q) -> (d2, d2, n_el*n_q)
+            Ct = jnp.moveaxis(Cts, 0, 2).reshape(d2, d2, n_el * n_q)
+            return rE, Ct
 
         def newton_dense(aa, xa, va, state):
             def body(i, aa):
-                rE, C = assemble_PC(aa, xa, state)
+                rE, Ct = assemble_PC_t(aa, xa, state)
+                C = Ct.transpose(2, 0, 1).reshape(
+                    n_el, n_q, dim, dim, dim, dim
+                )
                 r = (mass_apply(aa * free) + rE - rhs) * free
                 blocks = jnp.einsum(
                     "eq,eqnd,eqcdgf,eqmf->encmg", wdet, dNdX, C, dNdX
                 )
-                n_el, nd = conn.shape
+                nd = conn.shape[1]
                 blocks = blocks.reshape(n_el, nd * dim, nd * dim)
                 J = fac0 * K.scatter_dense_vblocks(
                     blocks, conn, n_dof, dim
@@ -345,25 +396,19 @@ def make_step(
             )
 
             def body(i, aa):
-                rE, C = assemble_PC(aa, xa, state)
+                rE, Ct = assemble_PC_t(aa, xa, state)
                 r = (mass_apply(aa * free) + rE - rhs) * free
-                # store the material tangent (dim^2, dim^2, n_el*n_q)
-                # batch-major: four trailing size-`dim` axes would be
-                # lane-padded ~19x by XLA (observed HBM OOM at 32k
-                # elements); batch-last packs perfectly.
-                n_el, n_q = wdet.shape
-                d2 = dim * dim
-                Ct = (
-                    C.reshape(n_el * n_q, d2, d2)
-                    .transpose(1, 2, 0)
-                )
 
                 def K_apply(w):
                     w_el = w[conn]
-                    dF = jnp.einsum("emg,eqmf->eqgf", w_el, dNdX)
-                    dF_t = dF.reshape(n_el * n_q, d2).T  # (d2, eq)
+                    # batch-last throughout: dF as (d2, eq)
+                    dF_t = jnp.einsum(
+                        "emg,eqmf->gfeq", w_el, dNdX
+                    ).reshape(d2, n_el * n_q)
                     dP_t = jnp.einsum("abx,bx->ax", Ct, dF_t)
-                    dP = dP_t.T.reshape(n_el, n_q, dim, dim)
+                    dP = jnp.moveaxis(
+                        dP_t.reshape(dim, dim, n_el, n_q), (0, 1), (2, 3)
+                    )
                     y_el = jnp.einsum(
                         "eq,eqnd,eqcd->enc", wdet, dNdX, dP
                     )
@@ -381,8 +426,13 @@ def make_step(
                         + w_flat.reshape(n_dof, dim) * (1 - free)
                     ).reshape(-1)
 
+                C4 = jnp.moveaxis(
+                    Ct.reshape(dim, dim, dim, dim, n_el, n_q),
+                    (4, 5),
+                    (0, 1),
+                )  # (e, q, c, d, g, f)
                 k_diag_el = jnp.einsum(
-                    "eq,eqnd,eqcdcf,eqnf->enc", wdet, dNdX, C, dNdX
+                    "eq,eqnd,eqcdcf,eqnf->enc", wdet, dNdX, C4, dNdX
                 )
                 k_diag = (
                     jnp.zeros((n_dof, dim), aa.dtype)

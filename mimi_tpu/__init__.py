@@ -39,6 +39,7 @@ from .contact.scene import (  # noqa: E402
     NearestDistanceToSplines,
 )
 from .api.splinepy_bridge import to_splinepy  # noqa: E402
+from .utils.ad import AD as PyAD  # noqa: E402
 
 __all__ = [
     "BoundaryConditions",
@@ -62,4 +63,5 @@ __all__ = [
     "NearestDistance",
     "NearestDistanceToSplines",
     "to_splinepy",
+    "PyAD",
 ]

@@ -269,3 +269,58 @@ def test_checkpoint_resume(tmp_path):
         np.asarray(a._system.state["eqps"]),
         np.asarray(b._system.state["eqps"]),
     )
+
+
+def test_pyad():
+    """PyAD parity (py_ad.cpp): forward-AD scalar arithmetic."""
+    x = mimi.PyAD.variable(2.0)
+    y = (x * x + 3.0 * x + 1.0) / x
+    # f = (x^2+3x+1)/x -> f(2) = 11/2; f' = 1 - 1/x^2 -> 3/4
+    assert np.isclose(y.get_value(), 5.5)
+    assert np.isclose(y.get_derivatives(0), 0.75)
+    z = x.sqrt().exp()
+    import math
+
+    assert np.isclose(z.get_value(), math.exp(math.sqrt(2)))
+
+
+def test_ode_presets():
+    """Newmark / AverageAcceleration etc. step the same operator
+    stably (presets from ode.hpp:130-269)."""
+    from mimi_tpu.solvers import ode as ode_mod
+
+    def mk():
+        nl = _basic()
+        bc = mimi.BoundaryConditions()
+        bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+        bc.initial.body_force(1, -5)
+        nl.boundary_condition = bc
+        nl.setup(1)
+        nl.time_step_size = 0.05
+        return nl
+
+    results = {}
+    for name, factory in [
+        ("gen_alpha", None),  # default
+        ("newmark", lambda op: ode_mod.Newmark(op)),
+        ("avg_accel", lambda op: ode_mod.AverageAcceleration(op)),
+        ("hht", lambda op: ode_mod.HHTAlpha(op, 0.9)),
+        ("wbz", lambda op: ode_mod.WBZAlpha(op, 0.8)),
+        ("fox_goodwin", lambda op: ode_mod.FoxGoodwin(op)),
+    ]:
+        nl = mk()
+        if factory is not None:
+            nl._system.ode = factory(nl._system)
+        for _ in range(5):
+            nl.step_time2()
+        u = np.asarray(nl._system.u)
+        assert np.isfinite(u).all(), name
+        results[name] = np.abs(u).max()
+    # unconditionally stable schemes agree in magnitude (Fox-Goodwin is
+    # only conditionally stable and legitimately oscillates at this dt)
+    stable = [results[k] for k in ("gen_alpha", "newmark", "avg_accel", "hht", "wbz")]
+    assert max(stable) < 2.0 * min(stable), results
+    # Newmark (beta 1/4 gamma 1/2) ~ AverageAcceleration: identical for
+    # linear problems; for nonlinear E the alpha-level evaluation differs
+    # (midpoint vs endpoint), so only near agreement is expected
+    assert np.isclose(results["newmark"], results["avg_accel"], rtol=1e-3)

@@ -41,34 +41,52 @@ class NearestDistanceToSplines(NearestDistance):
         self.splines.append(spline)
 
     def plant_kd_tree(self, resolution: int, nthreads: int = 1):
-        assert len(self.splines) == 1, "scene currently supports 1 spline"
-        s = self.splines[0]
-        if np.isscalar(resolution):
-            res = [int(resolution)] * s.para_dim
-        else:
-            res = list(resolution)
-        lo, hi = s.parametric_bounds()
-        axes = [np.linspace(lo[d], hi[d], res[d]) for d in range(s.para_dim)]
-        grid = np.meshgrid(*axes, indexing="ij")
-        self._samples = np.stack(
-            [g.reshape(-1, order="F") for g in grid], axis=-1
-        )
+        assert len(self.splines) >= 1, "scene needs at least one spline"
+        self._samples = []
+        for s in self.splines:
+            if np.isscalar(resolution):
+                res = [int(resolution)] * s.para_dim
+            else:
+                res = list(resolution)
+            lo, hi = s.parametric_bounds()
+            axes = [
+                np.linspace(lo[d], hi[d], res[d])
+                for d in range(s.para_dim)
+            ]
+            grid = np.meshgrid(*axes, indexing="ij")
+            self._samples.append(
+                np.stack([g.reshape(-1, order="F") for g in grid], axis=-1)
+            )
 
     # ---------- jit data / functions ----------
     def scene_data(self):
-        """Dynamic pytree consumed by the jitted query: current control
-        data + seed parameters (+ their images under the current cps)."""
-        s = self.splines[0]
-        cps = s.eval_cps()
-        samples = jnp.asarray(self._samples)
-        ev = self._get_fns()["eval"]
-        sample_pts = jax.vmap(lambda u: ev(u, cps))(samples)
-        return {"cps": cps, "samples": samples, "sample_pts": sample_pts}
+        """Dynamic pytree consumed by the jitted query: per spline, the
+        current control data + seed parameters (+ their images under the
+        current cps)."""
+        fns = self._get_fns()
+        out = []
+        for i, s in enumerate(self.splines):
+            cps = s.eval_cps()
+            samples = jnp.asarray(self._samples[i])
+            ev = fns["evals"][i]
+            sample_pts = jax.vmap(lambda u: ev(u, cps))(samples)
+            out.append(
+                {"cps": cps, "samples": samples, "sample_pts": sample_pts}
+            )
+        return out
 
     def _get_fns(self):
         if self._query_fns is None:
-            s = self.splines[0]
-            ev = s.make_eval()
+            evals = [s.make_eval() for s in self.splines]
+            queries = [
+                self._make_query_one(s, ev)
+                for s, ev in zip(self.splines, evals)
+            ]
+            self._query_fns = {"evals": evals, "queries": queries,
+                               "eval": evals[0]}
+        return self._query_fns
+
+    def _make_query_one(self, s, ev):
             lo, hi = s.parametric_bounds()
             lo = jnp.asarray(lo)
             hi = jnp.asarray(hi)
@@ -127,19 +145,39 @@ class NearestDistanceToSplines(NearestDistance):
                     "normal_gap": normal_gap,
                 }
 
-            self._query_fns = {"eval": ev, "query_one": query_one}
-        return self._query_fns
+            return query_one
 
     def make_batched_query(self):
+        """Vectorized closest-point query over all scene splines: each
+        query point takes the minimum-distance result (generalizes the
+        reference, which asserts a single spline per scene,
+        nearest_distance.hpp:263)."""
         fns = self._get_fns()
-        qo = fns["query_one"]
+        queries = fns["queries"]
 
-        def batched(queries, data):
-            return jax.vmap(
-                lambda q: qo(
-                    q, data["cps"], data["samples"], data["sample_pts"]
-                )
-            )(queries)
+        def batched(qpts, data):
+            results = [
+                jax.vmap(
+                    lambda q: qo(
+                        q, d["cps"], d["samples"], d["sample_pts"]
+                    )
+                )(qpts)
+                for qo, d in zip(queries, data)
+            ]
+            if len(results) == 1:
+                return results[0]
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs, axis=0), *results
+            )
+            best = jnp.argmin(stacked["distance"], axis=0)  # (n_q,)
+            take = lambda arr: jnp.take_along_axis(
+                arr,
+                best.reshape(
+                    (1, -1) + (1,) * (arr.ndim - 2)
+                ),
+                axis=0,
+            )[0]
+            return jax.tree.map(take, stacked)
 
         return batched
 

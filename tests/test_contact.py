@@ -56,7 +56,7 @@ def test_closest_point_curved():
     import jax
 
     d1 = jax.vmap(
-        lambda u: jax.jacfwd(ev)(u, data["cps"])[:, 0]
+        lambda u: jax.jacfwd(ev)(u, data[0]["cps"])[:, 0]
     )(res["parametric"])
     pmq = np.asarray(res["physical"]) - np.asarray(qs)
     ortho = np.abs(np.einsum("qd,qd->q", np.asarray(d1), pmq))

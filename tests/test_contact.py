@@ -218,3 +218,21 @@ def test_multi_spline_scene():
     assert np.isclose(phys[1, 1], 1.0)
     assert np.isclose(float(res["distance"][0]), 0.2)
     assert np.isclose(float(res["distance"][1]), 0.1)
+
+
+def test_contact_press_regression():
+    """Self-golden: the rigid-press trajectory must stay stable across
+    framework changes (committed from a verified run; the C++ reference
+    cannot be built in this environment, so contact trajectories are
+    pinned against our own verified baseline)."""
+    ref = np.load(os.path.join(DATA, "ref", "contact_press_traj.npy"))
+    nl, scene, tool = _press_setup()
+    u = nl.solution_view("displacement", "x")
+    push = 0.005 * np.array([1.0, 2.0]) / np.sqrt(5.0)
+    for i in range(10):
+        tool.cps[:] -= push
+        scene.plant_kd_tree(2000, 1)
+        nl.step_time2()
+        assert np.allclose(u, ref[i], atol=1e-8), (
+            f"step {i}: {np.abs(u-ref[i]).max()}"
+        )

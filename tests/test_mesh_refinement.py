@@ -102,3 +102,26 @@ def test_elevate_degrees():
     s1.read_mesh(_p("cube-nurbs-3.mesh"))
 
     elevate_and_compare(s0, s1)
+
+
+def test_save_mesh_roundtrip(tmp_path):
+    """save_mesh writes the refined mesh back in MFEM NURBS v1.0 format;
+    reading it reproduces counts, degrees and geometry."""
+    import numpy as np
+
+    s = mimi.Solid()
+    s.read_mesh(_p("balken.mesh"))
+    s.elevate_degrees(1)
+    s.subdivide(1)
+    out = str(tmp_path / "out.mesh")
+    s.save_mesh(out)
+
+    s2 = mimi.Solid()
+    s2.read_mesh(out)
+    assert s2.mesh_degrees() == s.mesh_degrees()
+    assert s2.n_vertices() == s.n_vertices()
+    assert s2.n_elements() == s.n_elements()
+    assert np.allclose(
+        s2._patch.control_points, s._patch.control_points
+    )
+    assert np.allclose(s2._patch.weights, s._patch.weights)

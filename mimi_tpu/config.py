@@ -21,6 +21,15 @@ _platform = os.environ.get("MIMI_TPU_PLATFORM")
 if _platform:
     jax.config.update("jax_platforms", _platform)
 
+# TPU matmuls/einsums on f32 inputs default to bf16-grade passes; measured
+# on the fused residual this costs ~4 digits (3.0e-2 vs 2.6e-6 abs error
+# against f64 truth).  MIMI_TPU_MATMUL_PRECISION={default,float32,highest}
+# trades MXU throughput for true-f32 contractions when f32 accuracy
+# matters (x64 paths are unaffected).
+_matmul_precision = os.environ.get("MIMI_TPU_MATMUL_PRECISION")
+if _matmul_precision:
+    jax.config.update("jax_default_matmul_precision", _matmul_precision)
+
 import jax.numpy as jnp  # noqa: E402
 
 _DTYPE = jnp.float64 if os.environ.get("MIMI_TPU_X64", "1") != "0" else jnp.float32

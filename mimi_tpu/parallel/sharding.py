@@ -212,7 +212,7 @@ def _explicit_accel(prob: Problem, u, v, state, dt):
             y * free + w_flat.reshape(n_dof, dim) * (1 - free)
         ).reshape(-1)
 
-    m_diag = jnp.zeros(n_dof).at[conn].add(
+    m_diag = jnp.zeros(n_dof, prob.rhs.dtype).at[conn].add(
         jnp.einsum("enn->en", prob.mass_blocks)
     )
     diag = jnp.repeat(m_diag, dim)
@@ -229,6 +229,7 @@ def make_step(
     solver: str = "dense",
     cg_iters: int = 200,
     chunk: int | None = None,
+    residual_impl: str = "xla",
 ):
     """Fully jitted generalized-alpha step: carry -> carry.
 
@@ -237,6 +238,17 @@ def make_step(
     Jacobi-preconditioned GMRES ("cg"/"iterative"; the operator apply
     contracts the per-quad material tangent, shared with the Jacobi
     diagonal).
+
+    `residual_impl="pallas"` routes the line-search residual evaluations
+    through the fused VMEM kernel (ops/pallas_residual.py: 2x the XLA
+    einsum path's throughput and true-f32 accuracy).  Requires a
+    neo-Hookean material and a float32 problem; single-chip only (the
+    kernel is not shard_map-wrapped yet).  Off TPU it runs in interpret
+    mode, so it is correctness-only there.  Step-level effect today is
+    small (~2% at 512 elems with GMRES: the step is dominated by the
+    fused residual+tangent assembly and matvecs, which stay on the XLA
+    path until the tangent kernel lands); the accuracy benefit applies
+    to every line-search evaluation it covers.
 
     All large arrays enter the compiled function as ARGUMENTS — embedding
     them as closure constants makes XLA constant-fold mesh-sized dots at
@@ -258,6 +270,26 @@ def make_step(
             f"chunk ({chunk}) must divide the padded element count "
             f"({prob.n_el}); pass pad_multiple to build_problem"
         )
+    use_pallas = residual_impl == "pallas"
+    if use_pallas:
+        from ..materials import CompressibleOgdenNeoHookean
+        from ..ops.pallas_residual import neohookean_residual_pallas
+
+        if not isinstance(mat, CompressibleOgdenNeoHookean):
+            raise ValueError(
+                "residual_impl='pallas' supports the neo-Hookean "
+                f"material only (got {type(mat).__name__})"
+            )
+        if prob.rhs.dtype != jnp.float32:
+            raise ValueError(
+                "residual_impl='pallas' requires a float32 problem"
+            )
+        _block_e = next(
+            b for b in (32, 16, 8, 4, 2, 1) if prob.n_el % b == 0
+        )
+        _interpret = jax.default_backend() != "tpu"
+    elif residual_impl != "xla":
+        raise ValueError(f"unknown residual_impl {residual_impl!r}")
 
     data = {
         "conn": prob.conn,
@@ -267,6 +299,9 @@ def make_step(
         "rhs": prob.rhs,
         "free": prob.free,
     }
+    if use_pallas:
+        # (dim, nd, n_el, n_q): element axis on sublanes, quads on lanes
+        data["dNdX_t"] = jnp.transpose(prob.dN_dX, (3, 2, 0, 1))
 
     def pk1_and_tangent(Fq, state_q):
         def fn(Fx):
@@ -284,13 +319,40 @@ def make_step(
         rhs = d["rhs"]
         free = d["free"]
 
-        def E(u, state):
-            F = I + jnp.einsum("enc,eqnd->eqcd", u[conn], dNdX)
-            P = jax.vmap(
-                jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))
-            )(F, state)
-            res_el = jnp.einsum("eq,eqnd,eqcd->enc", wdet, dNdX, P)
-            return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
+        if use_pallas:
+            n_el_, n_q_ = wdet.shape
+            nd_ = conn.shape[1]
+
+            def E(u, state):
+                u_q = jnp.broadcast_to(
+                    jnp.transpose(u[conn], (2, 1, 0))[..., None],
+                    (dim, nd_, n_el_, n_q_),
+                )
+                res_t = neohookean_residual_pallas(
+                    u_q,
+                    d["dNdX_t"],
+                    wdet,
+                    mat.lambda_,
+                    mat.mu,
+                    block_e=_block_e,
+                    interpret=_interpret,
+                )
+                res_el = jnp.transpose(res_t, (2, 1, 0))
+                return (
+                    jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
+                )
+
+        else:
+
+            def E(u, state):
+                F = I + jnp.einsum("enc,eqnd->eqcd", u[conn], dNdX)
+                P = jax.vmap(
+                    jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))
+                )(F, state)
+                res_el = jnp.einsum("eq,eqnd,eqcd->enc", wdet, dNdX, P)
+                return (
+                    jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
+                )
 
         def mass_apply(u):
             ye = jnp.einsum("enm,emc->enc", mass_blocks, u[conn])
@@ -391,7 +453,7 @@ def make_step(
             return jax.lax.fori_loop(0, newton_iters, body, aa)
 
         def newton_gmres(aa, xa, va, state):
-            m_diag = jnp.zeros(n_dof).at[conn].add(
+            m_diag = jnp.zeros(n_dof, aa.dtype).at[conn].add(
                 jnp.einsum("enn->en", mass_blocks)
             )
 

@@ -63,3 +63,56 @@ def test_pallas_neohookean_residual_interpret():
     r_pal = np.transpose(np.asarray(r_pal), (2, 1, 0))
     err = np.abs(r_pal - r64).max()
     assert err < 1e-4 * max(1.0, np.abs(r64).max()), err
+
+
+def test_make_step_pallas_residual_matches_xla():
+    """residual_impl='pallas' (interpret mode on CPU) reproduces the XLA
+    step trajectory."""
+    from mimi_tpu.parallel import sharding as sh
+
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1
+    mat.viscosity = -1
+    mat.set_young_poisson(2100, 0.3)
+    kw = dict(
+        rho_inf=0.5,
+        dtype=jnp.float32,
+        pad_multiple=8,
+    )
+    prob = sh.build_problem(
+        os.path.join(DATA, "cube-nurbs.mesh"),
+        1,
+        1,
+        mat,
+        [(1, 0), (1, 1), (1, 2)],
+        {1: -3.0},
+        **kw,
+    )
+    carry0 = sh.initial_carry(prob, dt=0.05)
+    step_x = sh.make_step(prob, 0.05, newton_iters=3)
+    step_p = sh.make_step(prob, 0.05, newton_iters=3, residual_impl="pallas")
+    cx, cp = carry0, carry0
+    for _ in range(2):
+        cx = step_x(cx)
+        cp = step_p(cp)
+    scale = float(jnp.abs(cx["u"]).max())
+    err = float(jnp.abs(cx["u"] - cp["u"]).max())
+    assert err < 1e-5 * max(scale, 1.0), (err, scale)
+
+    with pytest.raises(ValueError):
+        sh.make_step(prob, 0.05, residual_impl="bogus")
+    j2 = mimi.J2Linear()
+    j2.density = 1
+    j2.viscosity = -1
+    j2.set_young_poisson(2100, 0.3)
+    prob_j2 = sh.build_problem(
+        os.path.join(DATA, "cube-nurbs.mesh"),
+        1,
+        1,
+        j2,
+        [(1, 0), (1, 1), (1, 2)],
+        {1: -3.0},
+        **kw,
+    )
+    with pytest.raises(ValueError):
+        sh.make_step(prob_j2, 0.05, residual_impl="pallas")

@@ -273,7 +273,10 @@ def make_step(
     use_pallas = residual_impl == "pallas"
     if use_pallas:
         from ..materials import CompressibleOgdenNeoHookean
-        from ..ops.pallas_residual import neohookean_residual_pallas
+        from ..ops.pallas_residual import (
+            neohookean_residual_pallas,
+            neohookean_tangent_apply_pallas,
+        )
 
         if not isinstance(mat, CompressibleOgdenNeoHookean):
             raise ValueError(
@@ -461,24 +464,61 @@ def make_step(
                 rE, Ct = assemble_PC_t(aa, xa, state)
                 r = (mass_apply(aa * free) + rE - rhs) * free
 
-                def K_apply(w):
-                    w_el = w[conn]
-                    # batch-last throughout: dF as (d2, eq)
-                    dF_t = jnp.einsum(
-                        "emg,eqmf->gfeq", w_el, dNdX
-                    ).reshape(d2, n_el * n_q)
-                    dP_t = jnp.einsum("abx,bx->ax", Ct, dF_t)
-                    dP = jnp.moveaxis(
-                        dP_t.reshape(dim, dim, n_el, n_q), (0, 1), (2, 3)
-                    )
-                    y_el = jnp.einsum(
-                        "eq,eqnd,eqcd->enc", wdet, dNdX, dP
-                    )
-                    return (
-                        jnp.zeros((n_dof, dim), w.dtype)
-                        .at[conn]
-                        .add(y_el)
-                    )
+                if use_pallas:
+                    # fused VMEM matvec: recomputes F from the current
+                    # iterate per apply instead of contracting the stored
+                    # (d2, d2, eq) tangent — 5x the einsum path's
+                    # throughput and f32-exact (see ops/pallas_residual)
+                    nd = conn.shape[1]
+
+                    def bcast_q(x):
+                        return jnp.broadcast_to(
+                            jnp.transpose(x[conn], (2, 1, 0))[..., None],
+                            (dim, nd, n_el, n_q),
+                        )
+
+                    x_q = bcast_q(xa + fac0 * aa)
+
+                    def K_apply(w):
+                        y_t = neohookean_tangent_apply_pallas(
+                            x_q,
+                            bcast_q(w),
+                            d["dNdX_t"],
+                            wdet,
+                            mat.lambda_,
+                            mat.mu,
+                            block_e=_block_e,
+                            interpret=_interpret,
+                        )
+                        y_el = jnp.transpose(y_t, (2, 1, 0))
+                        return (
+                            jnp.zeros((n_dof, dim), w.dtype)
+                            .at[conn]
+                            .add(y_el)
+                        )
+
+                else:
+
+                    def K_apply(w):
+                        w_el = w[conn]
+                        # batch-last throughout: dF as (d2, eq)
+                        dF_t = jnp.einsum(
+                            "emg,eqmf->gfeq", w_el, dNdX
+                        ).reshape(d2, n_el * n_q)
+                        dP_t = jnp.einsum("abx,bx->ax", Ct, dF_t)
+                        dP = jnp.moveaxis(
+                            dP_t.reshape(dim, dim, n_el, n_q),
+                            (0, 1),
+                            (2, 3),
+                        )
+                        y_el = jnp.einsum(
+                            "eq,eqnd,eqcd->enc", wdet, dNdX, dP
+                        )
+                        return (
+                            jnp.zeros((n_dof, dim), w.dtype)
+                            .at[conn]
+                            .add(y_el)
+                        )
 
                 def J_apply(w_flat):
                     w = w_flat.reshape(n_dof, dim) * free
@@ -503,16 +543,31 @@ def make_step(
                 )
                 diag = (m_diag[:, None] + fac0 * k_diag).reshape(-1)
                 diag = jnp.where(free.reshape(-1) > 0, diag, 1.0)
-                c, _ = jax.scipy.sparse.linalg.gmres(
-                    J_apply,
-                    r.reshape(-1),
-                    tol=1e-8,
-                    atol=1e-12,
-                    restart=30,
-                    maxiter=max(1, cg_iters // 30),
-                    M=lambda v: v / diag,
-                    solve_method="batched",
-                )
+                if use_pallas:
+                    # gmres goes through lax.custom_linear_solve, which
+                    # transposes the operator; pallas_call has no
+                    # transpose rule.  The neo-Hookean (hyperelastic)
+                    # tangent is symmetric, so Jacobi-PCG applies — and
+                    # needs no transposition.
+                    c = pcg(
+                        J_apply,
+                        r.reshape(-1),
+                        diag,
+                        rel_tol=1e-8,
+                        abs_tol=1e-12,
+                        max_iter=cg_iters,
+                    )
+                else:
+                    c, _ = jax.scipy.sparse.linalg.gmres(
+                        J_apply,
+                        r.reshape(-1),
+                        tol=1e-8,
+                        atol=1e-12,
+                        restart=30,
+                        maxiter=max(1, cg_iters // 30),
+                        M=lambda v: v / diag,
+                        solve_method="batched",
+                    )
                 c = c.reshape(n_dof, dim)
                 scale = line_search_scale(r, c, aa, xa, va, state)
                 return aa - scale * c

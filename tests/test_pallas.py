@@ -99,6 +99,20 @@ def test_make_step_pallas_residual_matches_xla():
     err = float(jnp.abs(cx["u"] - cp["u"]).max())
     assert err < 1e-5 * max(scale, 1.0), (err, scale)
 
+    # iterative path: pallas swaps the gmres matvec for the fused VMEM
+    # tangent apply + symmetric Jacobi-PCG
+    step_pc = sh.make_step(
+        prob, 0.05, newton_iters=2, solver="cg", cg_iters=40,
+        residual_impl="pallas",
+    )
+    cpc = step_pc(carry0)
+    step_xc = sh.make_step(prob, 0.05, newton_iters=2, solver="cg",
+                           cg_iters=40)
+    cxc = step_xc(carry0)
+    scale = float(jnp.abs(cxc["u"]).max())
+    err = float(jnp.abs(cxc["u"] - cpc["u"]).max())
+    assert err < 1e-4 * max(scale, 1.0), (err, scale)
+
     with pytest.raises(ValueError):
         sh.make_step(prob, 0.05, residual_impl="bogus")
     j2 = mimi.J2Linear()
@@ -116,3 +130,62 @@ def test_make_step_pallas_residual_matches_xla():
     )
     with pytest.raises(ValueError):
         sh.make_step(prob_j2, 0.05, residual_impl="pallas")
+
+
+def test_pallas_neohookean_tangent_apply_interpret():
+    """Fused tangent-apply kernel vs jvp of the f64 residual."""
+    from mimi_tpu.parallel import sharding as sh
+    from mimi_tpu.ops.pallas_residual import (
+        neohookean_tangent_apply_pallas,
+    )
+
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1
+    mat.viscosity = -1
+    mat.set_young_poisson(2100, 0.3)
+    prob = sh.build_problem(
+        os.path.join(DATA, "cube-nurbs.mesh"),
+        1,
+        1,
+        mat,
+        [(1, 0), (1, 1), (1, 2)],
+        {1: -3.0},
+        dtype=jnp.float32,
+        pad_multiple=8,
+    )
+    n_el, n_q = prob.w_detJ.shape
+    dim, nd = prob.dim, prob.conn.shape[1]
+    rng = np.random.default_rng(1)
+    u = 0.02 * rng.standard_normal((prob.n_dof, dim))
+    w = rng.standard_normal((prob.n_dof, dim))
+
+    conn = jnp.asarray(prob.conn)
+    dN64 = jnp.asarray(prob.dN_dX, jnp.float64)
+    w64 = jnp.asarray(prob.w_detJ, jnp.float64)
+    I = jnp.eye(dim, dtype=jnp.float64)
+
+    def res64(uu):
+        F = I + jnp.einsum("enc,eqnd->eqcd", uu[conn], dN64)
+        P = jax.vmap(jax.vmap(lambda Fq: mat.pk1(Fq, None, 0.1)))(F)
+        return jnp.einsum("eq,eqnd,eqcd->enc", w64, dN64, P)
+
+    _, y64 = jax.jvp(res64, (jnp.asarray(u),), (jnp.asarray(w),))
+    y64 = np.asarray(y64)
+
+    dN_t = jnp.transpose(prob.dN_dX, (3, 2, 0, 1))
+
+    def bcast(x):
+        return jnp.broadcast_to(
+            jnp.transpose(jnp.asarray(x, jnp.float32)[prob.conn], (2, 1, 0))[
+                ..., None
+            ],
+            (dim, nd, n_el, n_q),
+        )
+
+    y_pal = neohookean_tangent_apply_pallas(
+        bcast(u), bcast(w), dN_t, prob.w_detJ, mat.lambda_, mat.mu,
+        block_e=8, interpret=True,
+    )
+    y_pal = np.transpose(np.asarray(y_pal), (2, 1, 0))
+    err = np.abs(y_pal - y64).max()
+    assert err < 1e-4 * max(1.0, np.abs(y64).max()), err

@@ -39,7 +39,8 @@ from .contact.scene import (  # noqa: E402
     NearestDistanceToSplines,
 )
 from .api.splinepy_bridge import to_splinepy  # noqa: E402
-from .utils.ad import AD as PyAD  # noqa: E402
+from .utils.ad import AD as PyAD, ADVec as PyADVec  # noqa: E402
+from .utils import log  # noqa: E402
 
 __all__ = [
     "BoundaryConditions",
@@ -64,4 +65,6 @@ __all__ = [
     "NearestDistanceToSplines",
     "to_splinepy",
     "PyAD",
+    "PyADVec",
+    "log",
 ]

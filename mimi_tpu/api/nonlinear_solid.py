@@ -453,8 +453,48 @@ class _System:
             ).reshape(n_dof, dim)
             return a * free
 
+        def newton_ls_norms(
+            aa, c, xa, va, state, dt, fac0, fac1, cdata, pens, rhs
+        ):
+            """Fused line-search probe: both trial-residual norms in one
+            device call (newton.cpp:138-157 evaluates full and half
+            step)."""
+            r3, _ = newton_residual(
+                aa - c, xa, va, state, dt, fac0, fac1, cdata, pens, rhs
+            )
+            r2, _ = newton_residual(
+                aa - 0.5 * c, xa, va, state, dt, fac0, fac1, cdata,
+                pens, rhs,
+            )
+            return jnp.stack(
+                [jnp.linalg.norm(r3), jnp.linalg.norm(r2)]
+            )
+
+        def newton_update_res_grad(
+            aa, c, scale, xa, va, state, dt, fac0, fac1, cdata, pens,
+            rhs,
+        ):
+            aa_new = aa - scale * c
+            r, J, auxes = newton_res_grad(
+                aa_new, xa, va, state, dt, fac0, fac1, cdata, pens, rhs
+            )
+            return aa_new, r, J, jnp.linalg.norm(r), auxes
+
+        def newton_update_res_only(
+            aa, c, scale, xa, va, state, dt, fac0, fac1, cdata, pens,
+            rhs,
+        ):
+            aa_new = aa - scale * c
+            r, auxes = newton_residual(
+                aa_new, xa, va, state, dt, fac0, fac1, cdata, pens, rhs
+            )
+            return aa_new, r, jnp.linalg.norm(r), auxes
+
         self._jit_newton_residual = jax.jit(newton_residual)
         self._jit_newton_res_grad = jax.jit(newton_res_grad)
+        self._jit_newton_ls_norms = jax.jit(newton_ls_norms)
+        self._jit_newton_update_res_grad = jax.jit(newton_update_res_grad)
+        self._jit_newton_update_res_only = jax.jit(newton_update_res_only)
         self._jit_solve_linear = jax.jit(solve_linear)
         self._jit_explicit_accel = jax.jit(explicit_accel)
         self._jit_accumulate = jax.jit(self._E_accumulate)
@@ -490,8 +530,39 @@ class _System:
             last_aux["aux"] = auxes
             return r
 
+        def pair_norms(x, c):
+            q3, q2 = np.asarray(
+                self._jit_newton_ls_norms(
+                    x, c, xa, va, state, dt, fac0, fac1, cdata, pens,
+                    self.rhs,
+                )
+            )
+            return float(q3), float(q2)
+
+        def update_assemble(x, c, scale, final):
+            if final:
+                x_new, r, norm, auxes = self._jit_newton_update_res_only(
+                    x, c, scale, xa, va, state, dt, fac0, fac1, cdata,
+                    pens, self.rhs,
+                )
+                J = None
+            else:
+                x_new, r, J, norm, auxes = (
+                    self._jit_newton_update_res_grad(
+                        x, c, scale, xa, va, state, dt, fac0, fac1,
+                        cdata, pens, self.rhs,
+                    )
+                )
+            last_aux["aux"] = auxes
+            return x_new, r, J, float(norm)
+
         aa = self.newton.solve(
-            aa, residual_and_grad, residual_only, self._jit_solve_linear
+            aa,
+            residual_and_grad,
+            residual_only,
+            self._jit_solve_linear,
+            pair_norms=pair_norms,
+            update_assemble=update_assemble,
         )
         if self.contact_blocks and "aux" in last_aux:
             for blk, aux in zip(self.contact_blocks, last_aux["aux"]):

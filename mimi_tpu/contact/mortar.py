@@ -40,6 +40,91 @@ def _det_surf(J):
     return jnp.linalg.norm(jnp.cross(J[:, 0], J[:, 1]))
 
 
+def make_contact_fns(dim: int, n_local: int, batched_query):
+    """Pure-function mortar passes over explicitly-passed table arrays.
+
+    `cd` is a dict of element tables for one marked boundary block:
+      conn (n_mb, nd) global scalar dofs, N (n_mb, q, nd),
+      dN (n_mb, q, nd, dim-1), wq (n_mb, q), nsign (n_mb,),
+      ldof (n_mb, nd) local mortar dof ids, x_ref_el (n_mb, nd, dim).
+
+    Passing tables as arguments (instead of closing over them) lets the
+    compiled sharded step feed them through jit as call-time data — the
+    same math serves the interactive session (MortarContactBlock binds
+    the tables) and the compiled core (sharding.make_step).
+    Algorithm parity: mortar_contact.cpp:148-295.
+    """
+
+    def pressure_pass(u, cd, scene_data, penalty):
+        cur = u[cd["conn"]] + cd["x_ref_el"]  # (n_mb, nd, dim)
+        N = cd["N"]
+        qpts = jnp.einsum("eqn,end->eqd", N, cur)
+        n_mb, n_q, _ = qpts.shape
+        res = batched_query(qpts.reshape(-1, dim), scene_data)
+        true_g = res["normal_gap"].reshape(n_mb, n_q)
+        dist = res["distance"].reshape(n_mb, n_q)
+        g = jnp.minimum(true_g, 0.0)
+        # angle gate (mortar_contact.cpp:158-189)
+        tiny = jnp.asarray(jnp.finfo(u.dtype).tiny, u.dtype)
+        ratio = jnp.minimum(
+            1.0, jnp.abs(true_g) / jnp.maximum(dist, tiny)
+        )
+        g = jnp.where(jnp.arccos(ratio) > 1.0e-5, 0.0, g)
+
+        J = jnp.einsum("end,eqnk->eqdk", cur, cd["dN"])
+        det = jax.vmap(jax.vmap(_det_surf))(J)
+        fac = cd["wq"] * det
+        area_el = jnp.einsum("eq,eqn->en", fac, N)
+        gap_el = jnp.einsum("eq,eqn->en", fac * g, N)
+        ldof = cd["ldof"]
+        area = jnp.zeros(n_local, u.dtype).at[ldof].add(area_el)
+        gap = jnp.zeros(n_local, u.dtype).at[ldof].add(gap_el)
+        # padded blocks can leave zero-area mortar dofs; the reference
+        # never divides there (gap is also zero), guard the 0/0
+        pressure = jnp.where(
+            area > 0.0, gap / jnp.where(area > 0.0, area, 1.0), 0.0
+        ) * penalty
+        total_area = jnp.sum(fac)
+        return pressure, total_area
+
+    def elem_residual(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sign):
+        cur = u_el + x_ref_e
+        p_q = jnp.einsum("qn,n->q", N_e, p_el)
+        J = jnp.einsum("nd,qnk->qdk", cur, dN_e)
+        det = jax.vmap(_det_surf)(J)
+        nrm = n_sign * jax.vmap(_unit_normal_from_J)(J)
+        fac = wq_e * det * p_q
+        res = -jnp.einsum("q,qn,qd->nd", fac, N_e, nrm)
+        force = jnp.einsum("q,qd->d", fac, nrm)
+        return res, (force, jnp.sum(fac))
+
+    def residual_pass(u, cd, pressure):
+        p_el = pressure[cd["ldof"]]
+        res_el, (force_el, pint_el) = jax.vmap(elem_residual)(
+            u[cd["conn"]], cd["x_ref_el"], cd["N"], cd["dN"], cd["wq"],
+            p_el, cd["nsign"],
+        )
+        return res_el, jnp.sum(force_el, axis=0), jnp.sum(pint_el)
+
+    def elem_res_only(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sg):
+        r, aux = elem_residual(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sg)
+        return r, (r, aux)
+
+    elem_jac = jax.jacfwd(elem_res_only, argnums=0, has_aux=True)
+
+    def residual_grad_pass(u, cd, pressure):
+        p_el = pressure[cd["ldof"]]
+        jac_el, (res_el, (force_el, pint_el)) = jax.vmap(elem_jac)(
+            u[cd["conn"]], cd["x_ref_el"], cd["N"], cd["dN"], cd["wq"],
+            p_el, cd["nsign"],
+        )
+        n_mb, nd = cd["conn"].shape
+        blocks = jac_el.reshape(n_mb, nd * dim, nd * dim)
+        return res_el, blocks, jnp.sum(force_el, axis=0), jnp.sum(pint_el)
+
+    return pressure_pass, residual_pass, residual_grad_pass
+
+
 class MortarContactBlock:
     """One contact integrator: a marked subset of boundary elements vs one
     scene."""
@@ -78,82 +163,28 @@ class MortarContactBlock:
         self.last_nodal_pressure = None
 
     def _build(self):
-        N = self.N
-        dN = self.dN_dxi
-        wq = self.wq
-        x_ref_el = self.x_ref_el
-        ldof = self.ldof
-        n_local = self.n_local
-        dim = self.dim
-        batched_query = self._batched_query
+        cd = self.table_dict()
+        pp, rp, rgp = make_contact_fns(
+            self.dim, self.n_local, self._batched_query
+        )
+        self.pressure_pass = lambda u, scene_data, penalty: pp(
+            u, cd, scene_data, penalty
+        )
+        self.residual_pass = lambda u, pressure: rp(u, cd, pressure)
+        self.residual_grad_pass = lambda u, pressure: rgp(u, cd, pressure)
 
-        def pressure_pass(u, scene_data, penalty):
-            cur = u[self.conn_j] + x_ref_el  # (n_mb, nd, dim)
-            qpts = jnp.einsum("eqn,end->eqd", N, cur)
-            n_mb, n_q, _ = qpts.shape
-            res = batched_query(qpts.reshape(-1, dim), scene_data)
-            true_g = res["normal_gap"].reshape(n_mb, n_q)
-            dist = res["distance"].reshape(n_mb, n_q)
-            g = jnp.minimum(true_g, 0.0)
-            # angle gate (mortar_contact.cpp:158-189)
-            ratio = jnp.minimum(
-                1.0, jnp.abs(true_g) / jnp.maximum(dist, 1e-300)
-            )
-            g = jnp.where(jnp.arccos(ratio) > 1.0e-5, 0.0, g)
-
-            J = jnp.einsum("end,eqnk->eqdk", cur, dN)
-            det = jax.vmap(jax.vmap(_det_surf))(J)
-            fac = wq * det
-            area_el = jnp.einsum("eq,eqn->en", fac, N)
-            gap_el = jnp.einsum("eq,eqn->en", fac * g, N)
-            area = jnp.zeros(n_local, u.dtype).at[ldof].add(area_el)
-            gap = jnp.zeros(n_local, u.dtype).at[ldof].add(gap_el)
-            pressure = gap / area * penalty
-            total_area = jnp.sum(fac)
-            return pressure, total_area
-
-        def elem_residual(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sign):
-            cur = u_el + x_ref_e
-            p_q = jnp.einsum("qn,n->q", N_e, p_el)
-            J = jnp.einsum("nd,qnk->qdk", cur, dN_e)
-            det = jax.vmap(_det_surf)(J)
-            nrm = n_sign * jax.vmap(_unit_normal_from_J)(J)
-            fac = wq_e * det * p_q
-            res = -jnp.einsum("q,qn,qd->nd", fac, N_e, nrm)
-            force = jnp.einsum("q,qd->d", fac, nrm)
-            return res, (force, jnp.sum(fac))
-
-        n_sign = self.normal_sign
-
-        def residual_pass(u, pressure):
-            p_el = pressure[ldof]
-            res_el, (force_el, pint_el) = jax.vmap(elem_residual)(
-                u[self.conn_j], x_ref_el, N, dN, wq, p_el, n_sign
-            )
-            force = jnp.sum(force_el, axis=0)
-            pint = jnp.sum(pint_el)
-            return res_el, force, pint
-
-        def elem_res_only(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sg):
-            r, aux = elem_residual(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sg)
-            return r, (r, aux)
-
-        elem_jac = jax.jacfwd(elem_res_only, argnums=0, has_aux=True)
-
-        def residual_grad_pass(u, pressure):
-            p_el = pressure[ldof]
-            jac_el, (res_el, (force_el, pint_el)) = jax.vmap(elem_jac)(
-                u[self.conn_j], x_ref_el, N, dN, wq, p_el, n_sign
-            )
-            n_mb, nd = self.conn.shape
-            blocks = jac_el.reshape(n_mb, nd * dim, nd * dim)
-            force = jnp.sum(force_el, axis=0)
-            pint = jnp.sum(pint_el)
-            return res_el, blocks, force, pint
-
-        self.pressure_pass = pressure_pass
-        self.residual_pass = residual_pass
-        self.residual_grad_pass = residual_grad_pass
+    def table_dict(self):
+        """Element tables as the dict `make_contact_fns` consumes; also
+        the payload the compiled sharded step ships through jit."""
+        return {
+            "conn": self.conn_j,
+            "N": self.N,
+            "dN": self.dN_dxi,
+            "wq": self.wq,
+            "nsign": self.normal_sign,
+            "ldof": self.ldof,
+            "x_ref_el": self.x_ref_el,
+        }
 
     # jit-composable: full residual contribution (n_dof, dim)
     def add_residual(self, u, n_dof, scene_data, penalty):

@@ -1,26 +1,39 @@
 """Functional problem core + multi-chip sharding.
 
 The interactive `NonlinearSolid` session keeps Newton orchestration in
-Python for reference-exact line-search control flow.  This module provides
+Python for live steering (views, FSI fixed-point).  This module provides
 the *compiled* counterpart used for benchmarking and scale-out: one fully
-jitted generalized-alpha step (predict -> fixed-trip Newton with the
-3-point line search -> correct -> state accumulate) over a pytree problem
-description.
+jitted generalized-alpha step (predict -> while_loop Newton with the
+3-point line search and the reference's stopping semantics -> correct ->
+state accumulate), covering the full operator of the reference
+(/root/reference/src/mimi/operators/nonlinear_solid.cpp:172-205):
+
+    r = M a + S (v + fac1 a) + E(x + fac0 a) + contact(x + fac0 a) - f
+
+with viscosity S, traction/body-force right-hand side, constant-velocity
+dynamic Dirichlet rows (boundary_conditions.cpp:204-291) and mortar
+penalty contact (mortar_contact.cpp:148-421; two-pass, frozen-pressure
+consistent tangent).
+
+Newton stopping matches LineSearchNewton (newton.cpp:99-202): goal =
+max(rel*|r0|, abs), non-finite abort, line-search scale floor 1e-12,
+best-iterate window of 5 improvements, best-x returned on
+non-convergence.
 
 Multi-chip design (the TPU-native replacement for the reference's
 shared-memory element loop, n_thread_exe.hpp:37-97): a 1D
-`jax.sharding.Mesh` over axis "e"; all (n_elem, ...) quadrature tables and
-material-state arrays are sharded along "e", dof vectors are replicated.
-XLA turns the element-batch scatter-add into local scatters + an
-all-reduce over ICI; dot products in CG/Newton reduce with psum.  Elements
-are padded with zero-measure entries (w_detJ = 0, dN/dX = 0 -> F = I) to a
-multiple of the device count, so padding contributes exactly zero.
+`jax.sharding.Mesh` over axis "e"; all (n_elem, ...) quadrature tables,
+contact boundary tables and material-state arrays are sharded along "e",
+dof vectors are replicated.  XLA turns the element-batch scatter-add into
+local scatters + an all-reduce over ICI; dot products in Newton/CG reduce
+with psum.  Elements are padded with zero-measure entries (w_detJ = 0 ->
+F = I; contact: duplicated geometry with wq = 0) to a multiple of the
+device count, so padding contributes exactly zero.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
+from dataclasses import dataclass, field
 
 import numpy as np
 import jax
@@ -31,7 +44,13 @@ from ..fem import kernels as K
 from ..fem.space import FESpace
 from ..nurbs.mesh_io import read_mfem_nurbs_mesh
 from ..nurbs.topology import build_patch_from_mesh
-from ..solvers.linear import pcg
+from ..solvers.linear import (
+    pcg,
+    gmres,
+    block_jacobi_inverse,
+    block_jacobi_apply,
+)
+from ..contact.mortar import make_contact_fns
 
 
 @dataclass
@@ -55,6 +74,15 @@ class Problem:
     # gen-alpha factors
     facs: dict
     state0: object  # material state pytree or None
+    # optional physics (None when absent)
+    visc_blocks: jnp.ndarray | None = None
+    cv_mask: jnp.ndarray | None = None  # (n_dof, dim) 1.0/0.0
+    cv_vals: jnp.ndarray | None = None  # (n_dof, dim)
+    # mortar contact: per block a dict of element tables + scene data
+    # (arrays, shardable along axis 0 except scene/penalty) and a static
+    # companion (n_local, query fn)
+    contact: list = field(default_factory=list)
+    contact_static: list = field(default_factory=list)
 
     def tree_arrays(self):
         return [
@@ -78,7 +106,19 @@ def build_problem(
     rho_inf: float = 0.25,
     dtype=jnp.float64,
     pad_multiple: int = 1,
+    traction: dict | None = None,  # {bid: {dim: value}}
+    constant_velocity: dict | None = None,  # {bid: {dim: value}}
+    contact: list | None = None,  # [(bid, scene), ...]
+    contact_quadrature_order: int = -1,
 ) -> Problem:
+    """Assemble the compiled-core problem description.
+
+    Feature parity with PyNonlinearSolid::Setup
+    (py_nonlinear_solid.cpp:15-387): mass, viscosity (material.viscosity
+    > 0), body-force + traction right-hand side, static and
+    constant-velocity Dirichlet, mortar contact blocks.  Periodic
+    boundaries are interactive-session-only; request them there.
+    """
     mesh = read_mfem_nurbs_mesh(mesh_path)
     patch, topo, _ = build_patch_from_mesh(mesh)
     if elevate > 0:
@@ -91,11 +131,31 @@ def build_problem(
     material.setup(dim)
 
     tables = fes.domain_tables(-1)
-    # mass shares the stiffness quadrature (one conn array for sharding;
-    # exact for affine geometry, the 2p+3 rule over-integrates mass)
+    # mass (+ viscosity) share the stiffness quadrature: one conn array
+    # for sharding; exact for affine geometry (the 2p+3 rule
+    # over-integrates the polynomial mass/diffusion integrands)
     mass_blocks = K.scalar_blocks_mass(tables, material.density)
+    visc_blocks = (
+        K.scalar_blocks_diffusion(tables, material.viscosity)
+        if material.viscosity > 0.0
+        else None
+    )
 
-    zero_mask = fes.boundary_dof_mask(_merge_dirichlet(dirichlet))
+    dir_pairs = list(dirichlet)
+    cv_mask = cv_vals = None
+    if constant_velocity:
+        # constant-velocity rows are Dirichlet rows with a dynamic value
+        # (boundary_conditions.cpp:127-137 auto-adds dirichlet)
+        cv_mask = np.zeros((n_dof, dim))
+        cv_vals = np.zeros((n_dof, dim))
+        for bid, dim_vals in constant_velocity.items():
+            sd = fes.side_dofs(bid)
+            for d_, val in dim_vals.items():
+                dir_pairs.append((bid, d_))
+                cv_mask[sd, d_] = 1.0
+                cv_vals[sd, d_] = val
+
+    zero_mask = fes.boundary_dof_mask(_merge_dirichlet(dir_pairs))
     free = (~zero_mask).astype(np.float64)
 
     rhs = np.zeros((n_dof, dim))
@@ -107,6 +167,24 @@ def build_problem(
         np.add.at(acc, tables.conn, nodal)
         for c, val in body_force.items():
             rhs[:, c] += acc * val
+    if traction:
+        # VectorBoundaryLFIntegrator over PWConstCoefficient
+        # (py_nonlinear_solid.cpp:221-283)
+        bt = fes.boundary_tables(-1)
+        for bid, dim_vals in traction.items():
+            sel = np.nonzero(bt.attr == bid + 1)[0]
+            nodal = np.einsum(
+                "eq,eq,eqn->en",
+                bt.wq[sel],
+                bt.detJ_ref[sel],
+                bt.N[sel],
+                optimize=True,
+            )
+            acc = np.zeros(n_dof)
+            np.add.at(acc, bt.conn[sel], nodal)
+            for c, val in dim_vals.items():
+                rhs[:, c] += acc * val
+    if body_force or traction:
         rhs[zero_mask] = 0.0
 
     n_el, n_q, n_dof_el = tables.N.shape
@@ -123,6 +201,7 @@ def build_problem(
     w_detJ = padel(tables.w_detJ)
     N = padel(tables.N)
     mblocks = padel(mass_blocks)
+    vblocks = padel(visc_blocks) if visc_blocks is not None else None
 
     rho = min(max(rho_inf, 0.0), 1.0)
     am = (2.0 - rho) / (1.0 + rho)
@@ -146,6 +225,63 @@ def build_problem(
     )
 
     cast = lambda a: jnp.asarray(a, dtype) if a.dtype.kind == "f" else jnp.asarray(a)
+
+    contact_data, contact_static = [], []
+    if contact:
+        bt = fes.boundary_tables(contact_quadrature_order)
+        x_ref = fes.x_ref
+        for bid, scene in contact:
+            marked = np.nonzero(bt.attr == bid + 1)[0]
+            if marked.size == 0:
+                raise ValueError(
+                    f"contact boundary {bid} marks no elements"
+                )
+            c_conn = bt.conn[marked]
+            uniq = np.unique(c_conn)
+            lookup = -np.ones(uniq.max() + 1, dtype=np.int64)
+            lookup[uniq] = np.arange(len(uniq))
+            ldof = lookup[c_conn]
+
+            # pad by duplicating element 0's geometry with wq = 0: the
+            # weight multiplies every residual/tangent contribution, so
+            # padding is exactly zero yet keeps normals/dets finite
+            # under jacfwd (zero tables would put NaNs in 0*d(norm))
+            n_mb = len(marked)
+            n_cpad = (-n_mb) % pad_multiple
+
+            def padc(a, zero=False):
+                if n_cpad == 0:
+                    return a
+                rep = np.repeat(a[:1], n_cpad, axis=0)
+                if zero:
+                    rep = np.zeros_like(rep)
+                return np.concatenate([a, rep])
+
+            cd = {
+                "conn": jnp.asarray(padc(c_conn)),
+                "N": cast(padc(bt.N[marked])),
+                "dN": cast(padc(bt.dN_dxi[marked])),
+                "wq": cast(padc(bt.wq[marked], zero=True)),
+                "nsign": cast(padc(bt.normal_sign[marked])),
+                "ldof": jnp.asarray(padc(ldof)),
+                "x_ref_el": cast(x_ref[padc(c_conn)]),
+                "scene": jax.tree.map(
+                    lambda a: jnp.asarray(a, dtype)
+                    if jnp.asarray(a).dtype.kind == "f"
+                    else jnp.asarray(a),
+                    scene.scene_data(),
+                ),
+                "penalty": jnp.asarray(scene.coefficient, dtype),
+            }
+            contact_data.append(cd)
+            contact_static.append(
+                {
+                    "n_local": len(uniq),
+                    "query": scene.make_batched_query(),
+                    "bid": bid,
+                }
+            )
+
     return Problem(
         material=material,
         n_dof=n_dof,
@@ -163,6 +299,11 @@ def build_problem(
         state0=jax.tree.map(lambda a: jnp.asarray(a, dtype), state0)
         if state0 is not None
         else None,
+        visc_blocks=cast(vblocks) if vblocks is not None else None,
+        cv_mask=cast(cv_mask) if cv_mask is not None else None,
+        cv_vals=cast(cv_vals) if cv_vals is not None else None,
+        contact=contact_data,
+        contact_static=contact_static,
     )
 
 
@@ -173,16 +314,45 @@ def _merge_dirichlet(pairs):
     return out
 
 
+def _contact_fns_for(prob: Problem):
+    return [
+        make_contact_fns(prob.dim, cs["n_local"], cs["query"])
+        for cs in prob.contact_static
+    ]
+
+
 def initial_carry(prob: Problem, dt: float = 1.0):
     """Zero fields + the first-step explicit acceleration
-    a0 = M^{-1}(f - E(0)) (GeneralizedAlpha2 nstate==0 semantics,
-    ode.cpp:38-42).  `dt` only reaches rate-dependent hardening terms; at
-    the zero state nothing yields, so any positive value is equivalent
-    (the reference evaluates this with its dt defaulted to 0 and relies on
-    IEEE inf semantics; a positive dt is the traced-code-safe analog)."""
+    a0 = M^{-1}(f - E(0) - S v0 - contact(0)) (GeneralizedAlpha2
+    nstate==0 semantics, ode.cpp:38-42).  `dt` only reaches
+    rate-dependent hardening terms; at the zero state nothing yields, so
+    any positive value is equivalent (the reference evaluates this with
+    its dt defaulted to 0 and relies on IEEE inf semantics; a positive dt
+    is the traced-code-safe analog)."""
     z = jnp.zeros((prob.n_dof, prob.dim), prob.rhs.dtype)
     a0 = _explicit_accel(prob, z, z, prob.state0, dt)
-    return {"u": z, "v": z, "a": a0, "state": prob.state0}
+    dtype = prob.rhs.dtype
+    carry = {
+        "u": z,
+        "v": z,
+        "a": a0,
+        "state": prob.state0,
+        "newton": {
+            "norm0": jnp.zeros((), dtype),
+            "norm": jnp.zeros((), dtype),
+            "iters": jnp.zeros((), jnp.int32),
+            "converged": jnp.asarray(True),
+        },
+        "contact": [
+            {
+                "force": jnp.zeros((prob.dim,), dtype),
+                "area": jnp.zeros((), dtype),
+                "pressure": jnp.zeros((), dtype),
+            }
+            for _ in prob.contact
+        ],
+    }
+    return carry
 
 
 def _explicit_accel(prob: Problem, u, v, state, dt):
@@ -202,6 +372,14 @@ def _explicit_accel(prob: Problem, u, v, state, dt):
         u[conn], prob.dN_dX, prob.w_detJ, state
     )
     E_u = jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
+    if prob.visc_blocks is not None:
+        ve = jnp.einsum("enm,emc->enc", prob.visc_blocks, v[conn])
+        E_u = E_u.at[conn].add(ve)
+    for cd, fns in zip(prob.contact, _contact_fns_for(prob)):
+        pp, rp, _ = fns
+        pressure, _ = pp(u, cd, cd["scene"], cd["penalty"])
+        res_c, _, _ = rp(u, cd, pressure)
+        E_u = E_u.at[cd["conn"]].add(res_c)
     z = (prob.rhs - E_u) * free
 
     def mass_apply(w_flat):
@@ -225,36 +403,48 @@ def _explicit_accel(prob: Problem, u, v, state, dt):
 def make_step(
     prob: Problem,
     dt: float,
-    newton_iters: int = 4,
+    newton_iters: int = 20,
     solver: str = "dense",
     cg_iters: int = 200,
     chunk: int | None = None,
     residual_impl: str = "xla",
+    rel_tol: float = 1e-8,
+    abs_tol: float = 1e-12,
 ):
     """Fully jitted generalized-alpha step: carry -> carry.
 
-    Newton runs a fixed trip count with the reference's 3-point-quadratic
-    line search; `solver` picks dense LU ("dense") or matrix-free
-    Jacobi-preconditioned GMRES ("cg"/"iterative"; the operator apply
-    contracts the per-quad material tangent, shared with the Jacobi
-    diagonal).
+    Newton runs inside lax.while_loop with the reference's stopping
+    semantics (LineSearchNewton, newton.cpp:99-202): `newton_iters` is
+    the max iteration count; convergence goal max(rel_tol*|r0|,
+    abs_tol); 3-point-quadratic line search with a 1e-12 scale-floor
+    abort; a 5-iteration best-improvement window; the best iterate is
+    returned on non-convergence.  `solver` picks dense LU ("dense") or
+    matrix-free Jacobi-preconditioned GMRES ("cg"/"iterative"; the
+    operator apply contracts the per-quad material tangent, shared with
+    the Jacobi diagonal).
+
+    The step covers the reference's full operator: viscosity
+    S (v + fac1 a), traction/body-force rhs, constant-velocity dynamic
+    Dirichlet rows, and mortar contact (pressure pass inside every
+    residual evaluation; frozen-pressure consistent tangent, exactly the
+    reference's per-element FD linearization, mortar_contact.cpp:263-295).
 
     `residual_impl="pallas"` routes the line-search residual evaluations
-    through the fused VMEM kernel (ops/pallas_residual.py: 2x the XLA
-    einsum path's throughput and true-f32 accuracy).  Requires a
-    neo-Hookean material and a float32 problem; single-chip only (the
-    kernel is not shard_map-wrapped yet).  Off TPU it runs in interpret
-    mode, so it is correctness-only there.  Step-level effect today is
-    small (~2% at 512 elems with GMRES: the step is dominated by the
-    fused residual+tangent assembly and matvecs, which stay on the XLA
-    path until the tangent kernel lands); the accuracy benefit applies
-    to every line-search evaluation it covers.
+    and the GMRES matvec through the fused VMEM kernels
+    (ops/pallas_residual.py).  Requires a neo-Hookean material and a
+    float32 problem; single-chip, no contact.  Off TPU it runs in
+    interpret mode (correctness-only).
 
-    All large arrays enter the compiled function as ARGUMENTS — embedding
-    them as closure constants makes XLA constant-fold mesh-sized dots at
-    compile time (observed: compile time exploding with element count).
-    The returned callable is already jitted; do not re-wrap it in jax.jit
-    (that would re-embed the arrays as constants).
+    All large arrays enter the compiled function as ARGUMENTS —
+    embedding them as closure constants makes XLA constant-fold
+    mesh-sized dots at compile time (observed: compile time exploding
+    with element count).  The returned callable is already jitted; do
+    not re-wrap it in jax.jit (that would re-embed the arrays as
+    constants).
+
+    The returned `step(carry, contact_scenes=None)` optionally takes
+    fresh per-block scene data (a list matching prob.contact) so rigid
+    tools can move between steps without re-tracing.
     """
     mat = prob.material
     dim = prob.dim
@@ -265,11 +455,17 @@ def make_step(
     fac0 = f["fac3"] * dt * dt
     fac1 = f["fac4"] * dt
     iterative = solver in ("cg", "iterative", "gmres")
+    max_iter = int(newton_iters)
     if chunk is not None and prob.n_el % chunk != 0:
         raise ValueError(
             f"chunk ({chunk}) must divide the padded element count "
             f"({prob.n_el}); pass pad_multiple to build_problem"
         )
+    has_visc = prob.visc_blocks is not None
+    has_cv = prob.cv_mask is not None
+    contact_fns = _contact_fns_for(prob)
+    has_contact = bool(contact_fns)
+
     use_pallas = residual_impl == "pallas"
     if use_pallas:
         from ..materials import CompressibleOgdenNeoHookean
@@ -287,6 +483,11 @@ def make_step(
             raise ValueError(
                 "residual_impl='pallas' requires a float32 problem"
             )
+        if has_contact or has_visc:
+            raise ValueError(
+                "residual_impl='pallas' does not cover contact or "
+                "viscosity yet; use residual_impl='xla'"
+            )
         _block_e = next(
             b for b in (32, 16, 8, 4, 2, 1) if prob.n_el % b == 0
         )
@@ -301,7 +502,13 @@ def make_step(
         "mass_blocks": prob.mass_blocks,
         "rhs": prob.rhs,
         "free": prob.free,
+        "contact": prob.contact,
     }
+    if has_visc:
+        data["visc_blocks"] = prob.visc_blocks
+    if has_cv:
+        data["cv_mask"] = prob.cv_mask
+        data["cv_vals"] = prob.cv_vals
     if use_pallas:
         # (dim, nd, n_el, n_q): element axis on sublanes, quads on lanes
         data["dNdX_t"] = jnp.transpose(prob.dN_dX, (3, 2, 0, 1))
@@ -321,6 +528,7 @@ def make_step(
         mass_blocks = d["mass_blocks"]
         rhs = d["rhs"]
         free = d["free"]
+        cdata = d["contact"]
 
         if use_pallas:
             n_el_, n_q_ = wdet.shape
@@ -361,22 +569,47 @@ def make_step(
             ye = jnp.einsum("enm,emc->enc", mass_blocks, u[conn])
             return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(ye)
 
+        if has_visc:
+
+            def visc_apply(u):
+                ye = jnp.einsum("enm,emc->enc", d["visc_blocks"], u[conn])
+                return (
+                    jnp.zeros((n_dof, dim), u.dtype).at[conn].add(ye)
+                )
+
+        def contact_residual(u_cur):
+            """Full two-pass contact at current coords (pressure pass
+            incl. closest-point queries + traction assembly)."""
+            out = jnp.zeros((n_dof, dim), u_cur.dtype)
+            for cd, (pp, rp, _) in zip(cdata, contact_fns):
+                pressure, _ = pp(u_cur, cd, cd["scene"], cd["penalty"])
+                res_el, _, _ = rp(u_cur, cd, pressure)
+                out = out.at[cd["conn"]].add(res_el)
+            return out
+
+        def contact_assemble(u_cur):
+            """Pressure pass + residual + frozen-pressure element blocks
+            per contact block; returns (residual, [blocks], [aux])."""
+            out = jnp.zeros((n_dof, dim), u_cur.dtype)
+            blocks_l, aux_l = [], []
+            for cd, (pp, _, rgp) in zip(cdata, contact_fns):
+                pressure, area = pp(u_cur, cd, cd["scene"], cd["penalty"])
+                res_el, blocks, force, pint = rgp(u_cur, cd, pressure)
+                out = out.at[cd["conn"]].add(res_el)
+                blocks_l.append(blocks)
+                aux_l.append(
+                    {"force": force, "area": area, "pressure": pint}
+                )
+            return out, blocks_l, aux_l
+
         def residual(aa, xa, va, state):
             temp_x = xa + fac0 * aa
             y = mass_apply(aa * free) + E(temp_x, state)
+            if has_visc:
+                y = y + visc_apply(va + fac1 * aa)
+            if has_contact:
+                y = y + contact_residual(temp_x)
             return (y - rhs) * free
-
-        def line_search_scale(r, c, aa, xa, va, state):
-            q1 = jnp.linalg.norm(r)
-            q3 = jnp.linalg.norm(residual(aa - c, xa, va, state))
-            q2 = jnp.linalg.norm(residual(aa - 0.5 * c, xa, va, state))
-            denom = q1 - 2.0 * q2 + q3
-            eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom)
-            return jnp.where(
-                (denom > 0) & (eps > 0) & (eps < 1),
-                eps,
-                jnp.where(q3 < q1, 1.0, 0.05),
-            )
 
         d2 = dim * dim
         n_el, n_q = wdet.shape
@@ -428,153 +661,334 @@ def make_step(
             Ct = jnp.moveaxis(Cts, 0, 2).reshape(d2, d2, n_el * n_q)
             return rE, Ct
 
-        def newton_dense(aa, xa, va, state):
-            def body(i, aa):
-                rE, Ct = assemble_PC_t(aa, xa, state)
-                C = Ct.transpose(2, 0, 1).reshape(
-                    n_el, n_q, dim, dim, dim, dim
+        free_flat = free.reshape(-1)
+
+        def contact_block_apply(blocks_l, w):
+            """Frozen-pressure contact tangent as an element-block
+            matvec (blocks from contact_assemble)."""
+            y = jnp.zeros((n_dof, dim), w.dtype)
+            for cd, blocks in zip(cdata, blocks_l):
+                n_mb, nd = cd["conn"].shape
+                w_el = w[cd["conn"]].reshape(n_mb, nd * dim)
+                y_el = jnp.einsum("eab,eb->ea", blocks, w_el)
+                y = y.at[cd["conn"]].add(y_el.reshape(n_mb, nd, dim))
+            return y
+
+        def contact_node_blocks(blocks_l):
+            """Per-node (dim x dim) diagonal blocks of the contact
+            tangent, for the block-Jacobi preconditioner."""
+            y = jnp.zeros((n_dof, dim, dim), rhs.dtype)
+            for cd, blocks in zip(cdata, blocks_l):
+                n_mb, nd = cd["conn"].shape
+                B = blocks.reshape(n_mb, nd, dim, nd, dim)
+                # diagonal over the (node, node) axes
+                de = jnp.moveaxis(
+                    jnp.diagonal(B, axis1=1, axis2=3), 3, 1
+                )  # (n_mb, nd, dim, dim)
+                y = y.at[cd["conn"]].add(de)
+            return y
+
+        # ---------------- newton machinery ----------------
+        def make_newton(xa, va, state):
+            def res_fn(aa):
+                return residual(aa, xa, va, state)
+
+            if iterative:
+                m_diag = jnp.zeros(n_dof, rhs.dtype).at[conn].add(
+                    jnp.einsum("enn->en", mass_blocks)
                 )
-                r = (mass_apply(aa * free) + rE - rhs) * free
-                blocks = jnp.einsum(
-                    "eq,eqnd,eqcdgf,eqmf->encmg", wdet, dNdX, C, dNdX
-                )
-                nd = conn.shape[1]
-                blocks = blocks.reshape(n_el, nd * dim, nd * dim)
-                J = fac0 * K.scatter_dense_vblocks(
-                    blocks, conn, n_dof, dim
-                ) + K.dense_from_scalar_blocks_jnp(
-                    mass_blocks, conn, n_dof, dim
-                )
-                free_flat = free.reshape(-1)
-                J = J * jnp.outer(free_flat, free_flat) + jnp.diag(
-                    1.0 - free_flat
-                )
-                c = jnp.linalg.solve(J, r.reshape(-1)).reshape(n_dof, dim)
-                scale = line_search_scale(r, c, aa, xa, va, state)
-                return aa - scale * c
+                if has_visc:
+                    s_diag = jnp.zeros(n_dof, rhs.dtype).at[conn].add(
+                        jnp.einsum("enn->en", d["visc_blocks"])
+                    )
 
-            return jax.lax.fori_loop(0, newton_iters, body, aa)
-
-        def newton_gmres(aa, xa, va, state):
-            m_diag = jnp.zeros(n_dof, aa.dtype).at[conn].add(
-                jnp.einsum("enn->en", mass_blocks)
-            )
-
-            def body(i, aa):
-                rE, Ct = assemble_PC_t(aa, xa, state)
-                r = (mass_apply(aa * free) + rE - rhs) * free
-
-                if use_pallas:
-                    # fused VMEM matvec: recomputes F from the current
-                    # iterate per apply instead of contracting the stored
-                    # (d2, d2, eq) tangent — 5x the einsum path's
-                    # throughput and f32-exact (see ops/pallas_residual)
-                    nd = conn.shape[1]
-
-                    def bcast_q(x):
-                        return jnp.broadcast_to(
-                            jnp.transpose(x[conn], (2, 1, 0))[..., None],
+                def assemble_fn(aa):
+                    rE, Ct = assemble_PC_t(aa, xa, state)
+                    r = mass_apply(aa * free) + rE
+                    if has_visc:
+                        r = r + visc_apply(va + fac1 * aa)
+                    ctx = {"Ct": Ct}
+                    if has_contact:
+                        rc_, blocks_l, aux_l = contact_assemble(
+                            xa + fac0 * aa
+                        )
+                        r = r + rc_
+                        ctx["cblocks"] = blocks_l
+                    r = (r - rhs) * free
+                    # block-Jacobi (dim x dim per control point):
+                    # M + fac1 S + fac0 (K + Kc) node-diagonal blocks —
+                    # the scalar diagonal stalls on contact-stiff
+                    # tangents (penalty ~1e11)
+                    C4 = jnp.moveaxis(
+                        Ct.reshape(dim, dim, dim, dim, n_el, n_q),
+                        (4, 5),
+                        (0, 1),
+                    )  # (e, q, c, d, g, f)
+                    k_block_el = jnp.einsum(
+                        "eq,eqnd,eqcdgf,eqnf->encg", wdet, dNdX, C4,
+                        dNdX,
+                    )
+                    nblocks = (
+                        jnp.zeros((n_dof, dim, dim), aa.dtype)
+                        .at[conn]
+                        .add(k_block_el)
+                    ) * fac0
+                    eye = jnp.eye(dim, dtype=aa.dtype)
+                    nblocks = nblocks + m_diag[:, None, None] * eye
+                    if has_visc:
+                        nblocks = (
+                            nblocks + fac1 * s_diag[:, None, None] * eye
+                        )
+                    if has_contact:
+                        nblocks = nblocks + fac0 * contact_node_blocks(
+                            ctx["cblocks"]
+                        )
+                    ctx["bj_inv"] = block_jacobi_inverse(nblocks, free)
+                    # scalar diagonal kept for the pcg (pallas) path
+                    diag = jnp.einsum("ncc->nc", nblocks).reshape(-1)
+                    diag = jnp.where(free_flat > 0, diag, 1.0)
+                    ctx["diag"] = diag
+                    if use_pallas:
+                        nd = conn.shape[1]
+                        ctx["x_q"] = jnp.broadcast_to(
+                            jnp.transpose(
+                                (xa + fac0 * aa)[conn], (2, 1, 0)
+                            )[..., None],
                             (dim, nd, n_el, n_q),
                         )
+                    return r, ctx
 
-                    x_q = bcast_q(xa + fac0 * aa)
+                def solve_fn(ctx, r):
+                    Ct = ctx["Ct"]
+                    if use_pallas:
+                        nd = conn.shape[1]
 
-                    def K_apply(w):
-                        y_t = neohookean_tangent_apply_pallas(
-                            x_q,
-                            bcast_q(w),
-                            d["dNdX_t"],
-                            wdet,
-                            mat.lambda_,
-                            mat.mu,
-                            block_e=_block_e,
-                            interpret=_interpret,
-                        )
-                        y_el = jnp.transpose(y_t, (2, 1, 0))
+                        def bcast_q(x):
+                            return jnp.broadcast_to(
+                                jnp.transpose(x[conn], (2, 1, 0))[
+                                    ..., None
+                                ],
+                                (dim, nd, n_el, n_q),
+                            )
+
+                        def K_apply(w):
+                            y_t = neohookean_tangent_apply_pallas(
+                                ctx["x_q"],
+                                bcast_q(w),
+                                d["dNdX_t"],
+                                wdet,
+                                mat.lambda_,
+                                mat.mu,
+                                block_e=_block_e,
+                                interpret=_interpret,
+                            )
+                            y_el = jnp.transpose(y_t, (2, 1, 0))
+                            return (
+                                jnp.zeros((n_dof, dim), w.dtype)
+                                .at[conn]
+                                .add(y_el)
+                            )
+
+                    else:
+
+                        def K_apply(w):
+                            w_el = w[conn]
+                            # batch-last throughout: dF as (d2, eq)
+                            dF_t = jnp.einsum(
+                                "emg,eqmf->gfeq", w_el, dNdX
+                            ).reshape(d2, n_el * n_q)
+                            dP_t = jnp.einsum("abx,bx->ax", Ct, dF_t)
+                            dP = jnp.moveaxis(
+                                dP_t.reshape(dim, dim, n_el, n_q),
+                                (0, 1),
+                                (2, 3),
+                            )
+                            y_el = jnp.einsum(
+                                "eq,eqnd,eqcd->enc", wdet, dNdX, dP
+                            )
+                            return (
+                                jnp.zeros((n_dof, dim), w.dtype)
+                                .at[conn]
+                                .add(y_el)
+                            )
+
+                    def J_apply(w_flat):
+                        w = w_flat.reshape(n_dof, dim) * free
+                        y = mass_apply(w) + fac0 * K_apply(w)
+                        if has_visc:
+                            y = y + fac1 * visc_apply(w)
+                        if has_contact:
+                            y = y + fac0 * contact_block_apply(
+                                ctx["cblocks"], w
+                            )
                         return (
-                            jnp.zeros((n_dof, dim), w.dtype)
-                            .at[conn]
-                            .add(y_el)
-                        )
+                            y * free
+                            + w_flat.reshape(n_dof, dim) * (1 - free)
+                        ).reshape(-1)
 
-                else:
+                    if use_pallas:
+                        # the neo-Hookean tangent is symmetric, so
+                        # Jacobi-PCG applies (and needs no transpose)
+                        c = pcg(
+                            J_apply,
+                            r.reshape(-1),
+                            ctx["diag"],
+                            rel_tol=1e-8,
+                            abs_tol=1e-12,
+                            max_iter=cg_iters,
+                        )
+                    else:
+                        # in-tree transpose-free GMRES (the consistent
+                        # J2 tangent is nonsymmetric at plastic states)
+                        # with the block-Jacobi preconditioner
+                        bj = ctx["bj_inv"]
+                        c = gmres(
+                            J_apply,
+                            r.reshape(-1),
+                            M_apply=lambda v: block_jacobi_apply(
+                                bj, v
+                            ),
+                            rel_tol=1e-8,
+                            abs_tol=1e-12,
+                            restart=30,
+                            max_iter=cg_iters,
+                        )
+                    return c.reshape(n_dof, dim)
 
-                    def K_apply(w):
-                        w_el = w[conn]
-                        # batch-last throughout: dF as (d2, eq)
-                        dF_t = jnp.einsum(
-                            "emg,eqmf->gfeq", w_el, dNdX
-                        ).reshape(d2, n_el * n_q)
-                        dP_t = jnp.einsum("abx,bx->ax", Ct, dF_t)
-                        dP = jnp.moveaxis(
-                            dP_t.reshape(dim, dim, n_el, n_q),
-                            (0, 1),
-                            (2, 3),
-                        )
-                        y_el = jnp.einsum(
-                            "eq,eqnd,eqcd->enc", wdet, dNdX, dP
-                        )
-                        return (
-                            jnp.zeros((n_dof, dim), w.dtype)
-                            .at[conn]
-                            .add(y_el)
-                        )
+            else:
 
-                def J_apply(w_flat):
-                    w = w_flat.reshape(n_dof, dim) * free
-                    y = mass_apply(w) + fac0 * K_apply(w)
+                def assemble_fn(aa):
+                    rE, Ct = assemble_PC_t(aa, xa, state)
+                    r = mass_apply(aa * free) + rE
+                    if has_visc:
+                        r = r + visc_apply(va + fac1 * aa)
+                    C = Ct.transpose(2, 0, 1).reshape(
+                        n_el, n_q, dim, dim, dim, dim
+                    )
+                    blocks = jnp.einsum(
+                        "eq,eqnd,eqcdgf,eqmf->encmg", wdet, dNdX, C, dNdX
+                    )
+                    nd = conn.shape[1]
+                    blocks = blocks.reshape(n_el, nd * dim, nd * dim)
+                    J = fac0 * K.scatter_dense_vblocks(
+                        blocks, conn, n_dof, dim
+                    ) + K.dense_from_scalar_blocks_jnp(
+                        mass_blocks, conn, n_dof, dim
+                    )
+                    if has_visc:
+                        J = J + fac1 * K.dense_from_scalar_blocks_jnp(
+                            d["visc_blocks"], conn, n_dof, dim
+                        )
+                    if has_contact:
+                        rc_, blocks_l, aux_l = contact_assemble(
+                            xa + fac0 * aa
+                        )
+                        r = r + rc_
+                        for cd, cb in zip(cdata, blocks_l):
+                            J = J + fac0 * K.scatter_dense_vblocks(
+                                cb, cd["conn"], n_dof, dim
+                            )
+                    r = (r - rhs) * free
+                    J = J * jnp.outer(free_flat, free_flat) + jnp.diag(
+                        1.0 - free_flat
+                    )
+                    return r, {"J": J}
+
+                def solve_fn(ctx, r):
+                    return jnp.linalg.solve(
+                        ctx["J"], r.reshape(-1)
+                    ).reshape(n_dof, dim)
+
+            def newton(aa0):
+                """lax.while_loop port of LineSearchNewton::Mult
+                (newton.cpp:99-202): convergence goal, line-search
+                scale-floor abort, 5-iteration best-improvement window,
+                best-iterate return."""
+                r0, ctx0 = assemble_fn(aa0)
+                norm0 = jnp.linalg.norm(r0)
+                goal = jnp.maximum(rel_tol * norm0, abs_tol)
+                inf = jnp.asarray(jnp.inf, norm0.dtype)
+
+                def cond(c):
                     return (
-                        y * free
-                        + w_flat.reshape(n_dof, dim) * (1 - free)
-                    ).reshape(-1)
-
-                C4 = jnp.moveaxis(
-                    Ct.reshape(dim, dim, dim, dim, n_el, n_q),
-                    (4, 5),
-                    (0, 1),
-                )  # (e, q, c, d, g, f)
-                k_diag_el = jnp.einsum(
-                    "eq,eqnd,eqcdcf,eqnf->enc", wdet, dNdX, C4, dNdX
-                )
-                k_diag = (
-                    jnp.zeros((n_dof, dim), aa.dtype)
-                    .at[conn]
-                    .add(k_diag_el)
-                )
-                diag = (m_diag[:, None] + fac0 * k_diag).reshape(-1)
-                diag = jnp.where(free.reshape(-1) > 0, diag, 1.0)
-                if use_pallas:
-                    # gmres goes through lax.custom_linear_solve, which
-                    # transposes the operator; pallas_call has no
-                    # transpose rule.  The neo-Hookean (hyperelastic)
-                    # tangent is symmetric, so Jacobi-PCG applies — and
-                    # needs no transposition.
-                    c = pcg(
-                        J_apply,
-                        r.reshape(-1),
-                        diag,
-                        rel_tol=1e-8,
-                        abs_tol=1e-12,
-                        max_iter=cg_iters,
+                        (~c["stop"])
+                        & jnp.isfinite(c["norm"])
+                        & (c["norm"] > goal)
+                        & (c["it"] < max_iter)
+                        & (c["window"] != 0)
                     )
-                else:
-                    c, _ = jax.scipy.sparse.linalg.gmres(
-                        J_apply,
-                        r.reshape(-1),
-                        tol=1e-8,
-                        atol=1e-12,
-                        restart=30,
-                        maxiter=max(1, cg_iters // 30),
-                        M=lambda v: v / diag,
-                        solve_method="batched",
+
+                def body(c):
+                    aa, r, ctx = c["aa"], c["r"], c["ctx"]
+                    step_c = solve_fn(ctx, r)
+                    q1 = c["norm"]
+                    q3 = jnp.linalg.norm(res_fn(aa - step_c))
+                    q2 = jnp.linalg.norm(res_fn(aa - 0.5 * step_c))
+                    denom = q1 - 2.0 * q2 + q3
+                    eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom)
+                    scale = jnp.where(
+                        (denom > 0) & (eps > 0) & (eps < 1),
+                        eps,
+                        jnp.where(q3 < q1, 1.0, 0.05),
                     )
-                c = c.reshape(n_dof, dim)
-                scale = line_search_scale(r, c, aa, xa, va, state)
-                return aa - scale * c
+                    stop_ls = jnp.abs(scale) < 1e-12
+                    aa_new = jnp.where(
+                        stop_ls, aa, aa - scale * step_c
+                    )
+                    r_new, ctx_new = assemble_fn(aa_new)
+                    norm_new = jnp.linalg.norm(r_new)
+                    better = norm_new < c["best_norm"]
+                    take = better & (~stop_ls)
+                    bit = jnp.where(better, jnp.int32(1), jnp.int32(0))
+                    return {
+                        "aa": aa_new,
+                        "r": r_new,
+                        "ctx": ctx_new,
+                        "norm": jnp.where(stop_ls, c["norm"], norm_new),
+                        "best_aa": jnp.where(take, aa_new, c["best_aa"]),
+                        "best_norm": jnp.where(
+                            take, norm_new, c["best_norm"]
+                        ),
+                        "window": jnp.where(
+                            stop_ls,
+                            c["window"],
+                            ((c["window"] << 1) | bit) & jnp.int32(31),
+                        ),
+                        "it": jnp.where(stop_ls, c["it"], c["it"] + 1),
+                        "stop": stop_ls,
+                    }
 
-            return jax.lax.fori_loop(0, newton_iters, body, aa)
+                init = {
+                    "aa": aa0,
+                    "r": r0,
+                    "ctx": ctx0,
+                    "norm": norm0,
+                    "best_aa": aa0,
+                    "best_norm": inf,
+                    "window": jnp.int32(31),
+                    "it": jnp.int32(0),
+                    "stop": jnp.asarray(False),
+                }
+                fin = jax.lax.while_loop(cond, body, init)
+                converged = fin["norm"] <= goal
+                use_best = (
+                    (~converged)
+                    & jnp.isfinite(fin["norm"])
+                    & (~fin["stop"])
+                    & (fin["it"] > 0)
+                )
+                aa_fin = jnp.where(use_best, fin["best_aa"], fin["aa"])
+                diag = {
+                    "norm0": norm0,
+                    "norm": jnp.where(
+                        use_best, fin["best_norm"], fin["norm"]
+                    ),
+                    "iters": fin["it"],
+                    "converged": converged,
+                }
+                return aa_fin, diag
 
-        newton = newton_gmres if iterative else newton_dense
+            return newton
 
         def elem_accumulate(u_el, dNdX_e, state_e):
             F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
@@ -591,32 +1005,87 @@ def make_step(
         prev_fac = 1.0 - f["fac1_inv"]
         xa = u + (v + f["fac0"] * dt * a) * f["fac1"] * dt
         va = v + f["fac2"] * dt * a
-        aa = newton(jnp.zeros_like(u), xa, va, state)
+        if has_cv:
+            # dynamic Dirichlet apply (boundary_conditions.cpp:209-258):
+            # at alpha level aa=0 (rows are masked), va = v_bc,
+            # xa = x + v_bc*dt; values restored after the corrector
+            cvm = d["cv_mask"]
+            cvv = d["cv_vals"]
+            xa_cv = u + cvv * dt
+            xa = jnp.where(cvm > 0, xa_cv, xa)
+            va = jnp.where(cvm > 0, cvv, va)
+        aa, newton_diag = make_newton(xa, va, state)(jnp.zeros_like(u))
         xa = xa + fac0 * aa
         va = va + fac1 * aa
-        u = u * prev_fac + f["fac1_inv"] * xa
-        v = v * prev_fac + f["fac1_inv"] * va
-        a = a * prev_fac + f["fac5_inv"] * aa
+        u_new = u * prev_fac + f["fac1_inv"] * xa
+        v_new = v * prev_fac + f["fac1_inv"] * va
+        a_new = a * prev_fac + f["fac5_inv"] * aa
+        if has_cv:
+            u_new = jnp.where(cvm > 0, xa_cv, u_new)
+            v_new = jnp.where(cvm > 0, cvv, v_new)
+            a_new = jnp.where(cvm > 0, 0.0, a_new)
         if state is not None:
             state = jax.vmap(elem_accumulate, in_axes=(0, 0, 0))(
-                u[conn], dNdX, state
+                u_new[conn], dNdX, state
             )
-        return {"u": u, "v": v, "a": a, "state": state}
+        # contact observability at the converged alpha level (the
+        # reference records from its last residual assembly,
+        # mortar_contact.cpp:469-488)
+        contact_aux = []
+        if has_contact:
+            for cd, (pp, rp, _) in zip(cdata, contact_fns):
+                pressure, area = pp(xa, cd, cd["scene"], cd["penalty"])
+                _, force, pint = rp(xa, cd, pressure)
+                contact_aux.append(
+                    {"force": force, "area": area, "pressure": pint}
+                )
+        return {
+            "u": u_new,
+            "v": v_new,
+            "a": a_new,
+            "state": state,
+            "newton": newton_diag,
+            "contact": contact_aux,
+        }
 
     jitted = jax.jit(impl)
 
-    def step(carry):
+    def step(carry, contact_scenes=None):
+        if contact_scenes is not None:
+            d = dict(data)
+            d["contact"] = [
+                dict(cd, scene=s)
+                for cd, s in zip(data["contact"], contact_scenes)
+            ]
+            return jitted(carry, d)
         return jitted(carry, data)
 
     return step
 
+
 def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
     """Places element-axis arrays sharded over mesh axis 'e', dof arrays
-    replicated."""
+    replicated.  Contact boundary-element tables shard along the same
+    axis (their mortar scatter reduces over ICI like the domain one);
+    scene data and penalties replicate."""
     e_shard = NamedSharding(mesh, P("e"))
     rep = NamedSharding(mesh, P())
     put_e = lambda a: jax.device_put(a, e_shard)
     put_r = lambda a: jax.device_put(a, rep)
+    contact = [
+        {
+            "conn": put_e(cd["conn"]),
+            "N": put_e(cd["N"]),
+            "dN": put_e(cd["dN"]),
+            "wq": put_e(cd["wq"]),
+            "nsign": put_e(cd["nsign"]),
+            "ldof": put_e(cd["ldof"]),
+            "x_ref_el": put_e(cd["x_ref_el"]),
+            "scene": jax.tree.map(put_r, cd["scene"]),
+            "penalty": put_r(cd["penalty"]),
+        }
+        for cd in prob.contact
+    ]
     return Problem(
         material=prob.material,
         n_dof=prob.n_dof,
@@ -634,6 +1103,17 @@ def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
         state0=jax.tree.map(put_e, prob.state0)
         if prob.state0 is not None
         else None,
+        visc_blocks=put_e(prob.visc_blocks)
+        if prob.visc_blocks is not None
+        else None,
+        cv_mask=put_r(prob.cv_mask)
+        if prob.cv_mask is not None
+        else None,
+        cv_vals=put_r(prob.cv_vals)
+        if prob.cv_vals is not None
+        else None,
+        contact=contact,
+        contact_static=prob.contact_static,
     )
 
 

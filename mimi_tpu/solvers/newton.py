@@ -38,9 +38,25 @@ class LineSearchNewton:
         self.max_iter = int(max_iter)
         self.iterative_mode = bool(iterative_mode)
 
-    def solve(self, x, residual_and_grad, residual_only, solve_linear):
-        """x: initial guess (device array). Returns final x."""
+    def solve(
+        self,
+        x,
+        residual_and_grad,
+        residual_only,
+        solve_linear,
+        pair_norms=None,
+        update_assemble=None,
+    ):
+        """x: initial guess (device array). Returns final x.
+
+        `pair_norms(x, c) -> (q3, q2)` and
+        `update_assemble(x, c, scale, final) -> (x_new, r, J, norm)` are
+        optional fused device calls: without them each line-search /
+        update costs 2-3 separate dispatches with a host sync each; with
+        them one dispatch + one scalar sync.  Math is identical."""
         import jax.numpy as jnp
+
+        from ..utils import log
 
         if not self.iterative_mode:
             x = jnp.zeros_like(x)
@@ -59,7 +75,9 @@ class LineSearchNewton:
         it = 0
         while True:
             if self.print_level > 0:
-                print(f"Newton iteration {it:2d} : ||r|| = {norm}")
+                log.print_info(
+                    f"Newton iteration {it:2d} : ||r|| = {norm}"
+                )
             if not np.isfinite(norm):
                 self.converged = False
                 break
@@ -79,8 +97,11 @@ class LineSearchNewton:
             c = solve_linear(J, r)
 
             q1 = norm
-            q3 = float(jnp.linalg.norm(residual_only(x - c)))
-            q2 = float(jnp.linalg.norm(residual_only(x - 0.5 * c)))
+            if pair_norms is not None:
+                q3, q2 = pair_norms(x, c)
+            else:
+                q3 = float(jnp.linalg.norm(residual_only(x - c)))
+                q2 = float(jnp.linalg.norm(residual_only(x - 0.5 * c)))
 
             denom = q1 - 2.0 * q2 + q3
             eps = (
@@ -99,15 +120,18 @@ class LineSearchNewton:
                 self.converged = False
                 break
 
-            x = x - scale * c
-
             it += 1
-            if it == self.max_iter:
-                r = residual_only(x)
-                J = None
+            final = it == self.max_iter
+            if update_assemble is not None:
+                x, r, J, norm = update_assemble(x, c, scale, final)
             else:
-                r, J = residual_and_grad(x)
-            norm = float(jnp.linalg.norm(r))
+                x = x - scale * c
+                if final:
+                    r = residual_only(x)
+                    J = None
+                else:
+                    r, J = residual_and_grad(x)
+                norm = float(jnp.linalg.norm(r))
 
             # keep best (newton.cpp:17-47)
             if norm < best_residual:

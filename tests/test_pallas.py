@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode pallas: ~8 min on this host
+
 import mimi_tpu as mimi
 from mimi_tpu.ops.pallas_residual import neohookean_residual_pallas
 

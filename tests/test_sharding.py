@@ -109,3 +109,242 @@ def test_compiled_vs_interactive_consistency():
     assert np.allclose(u_interactive, u_compiled, atol=1e-6), (
         np.abs(u_interactive - u_compiled).max()
     )
+
+
+# ---------------------------------------------------------------------
+# round 2: full-operator compiled core (viscosity / traction / dynamic
+# dirichlet / contact) vs the interactive reference-semantics session,
+# and while_loop-Newton stopping behavior
+# ---------------------------------------------------------------------
+
+
+def _interactive(mesh, elevate, subdivide, mat, bc_fn, n_steps, dt,
+                 rho_inf=0.5):
+    nl = mimi.NonlinearSolid()
+    nl.read_mesh(os.path.join(DATA, mesh))
+    nl.elevate_degrees(elevate)
+    nl.subdivide(subdivide)
+    nl.set_material(mat)
+    rc = mimi.RuntimeCommunication()
+    rc.set_real("ode_coefficient", rho_inf)
+    nl.runtime_communication = rc
+    bc = mimi.BoundaryConditions()
+    bc_fn(bc)
+    nl.boundary_condition = bc
+    nl.setup(1)
+    nl.configure_newton("nonlinear_solid", 1e-8, 1e-12, 20, False)
+    nl.time_step_size = dt
+    for _ in range(n_steps):
+        nl.step_time2()
+    return nl
+
+
+def test_compiled_viscosity_vs_interactive():
+    """S (v + fac1 a) in the compiled step (reference operator
+    nonlinear_solid.cpp:172-205) must match the interactive session."""
+    def mk():
+        m = _neo_mat()
+        m.viscosity = 50.0
+        return m
+
+    nl = _interactive(
+        "balken.mesh", 2, 1, mk(),
+        lambda bc: bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+        .body_force(1, -3),
+        3, 0.5,
+    )
+    u_i = np.asarray(nl._system.u)
+
+    prob = sh.build_problem(
+        os.path.join(DATA, "balken.mesh"), 2, 1, mk(),
+        [(2, 0), (2, 1)], {1: -3.0}, rho_inf=0.5,
+    )
+    step = sh.make_step(prob, 0.5, newton_iters=20, solver="dense")
+    carry = sh.initial_carry(prob)
+    for _ in range(3):
+        carry = step(carry)
+    assert np.allclose(u_i, np.asarray(carry["u"]), atol=1e-8), (
+        np.abs(u_i - np.asarray(carry["u"])).max()
+    )
+
+
+def test_compiled_traction_vs_interactive():
+    nl = _interactive(
+        "balken.mesh", 2, 1, _neo_mat(),
+        lambda bc: bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+        .traction(3, 1, -4.0),
+        3, 0.5,
+    )
+    u_i = np.asarray(nl._system.u)
+
+    prob = sh.build_problem(
+        os.path.join(DATA, "balken.mesh"), 2, 1, _neo_mat(),
+        [(2, 0), (2, 1)], {}, rho_inf=0.5,
+        traction={3: {1: -4.0}},
+    )
+    step = sh.make_step(prob, 0.5, newton_iters=20, solver="dense")
+    carry = sh.initial_carry(prob)
+    for _ in range(3):
+        carry = step(carry)
+    assert np.allclose(u_i, np.asarray(carry["u"]), atol=1e-8), (
+        np.abs(u_i - np.asarray(carry["u"])).max()
+    )
+
+
+def test_compiled_constant_velocity_vs_interactive():
+    """Dynamic Dirichlet rows (boundary_conditions.cpp:204-291) in the
+    compiled step."""
+    nl = _interactive(
+        "balken.mesh", 2, 1, _neo_mat(),
+        lambda bc: bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+        .constant_velocity(3, 1, 0.05),
+        4, 0.25,
+    )
+    u_i = np.asarray(nl._system.u)
+
+    prob = sh.build_problem(
+        os.path.join(DATA, "balken.mesh"), 2, 1, _neo_mat(),
+        [(2, 0), (2, 1)], {}, rho_inf=0.5,
+        constant_velocity={3: {1: 0.05}},
+    )
+    step = sh.make_step(prob, 0.25, newton_iters=20, solver="dense")
+    carry = sh.initial_carry(prob)
+    for _ in range(4):
+        carry = step(carry)
+    u_c = np.asarray(carry["u"])
+    # moving rows actually moved
+    assert abs(u_c[:, 1]).max() > 0.04
+    assert np.allclose(u_i, u_c, atol=1e-8), np.abs(u_i - u_c).max()
+
+
+def _press_problem(pad_multiple=1):
+    from mimi_tpu.splines import Bezier
+
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1e3
+    mat.viscosity = 100.0
+    mat.set_young_poisson(1e6, 0.3)
+    tool = Bezier([1], [[-1.885, 2.464], [1.903, 0.570]])
+    scene = mimi.NearestDistanceToSplines()
+    scene.add_spline(tool)
+    scene.plant_kd_tree(2000, 1)
+    scene.coefficient = 5e7
+    prob = sh.build_problem(
+        os.path.join(DATA, "square-nurbs.mesh"), 1, 2, mat,
+        [(0, 0), (0, 1)], {}, rho_inf=0.5,
+        contact=[(1, scene)], pad_multiple=pad_multiple,
+    )
+    return prob, scene, tool
+
+
+def _run_press_compiled(n_devices, n_steps=4, solver="dense"):
+    prob, scene, tool = _press_problem(pad_multiple=n_devices)
+    if n_devices > 1:
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), ("e",))
+        prob = sh.shard_problem(prob, mesh)
+    step = sh.make_step(prob, 0.01, newton_iters=60, solver=solver,
+                        rel_tol=1e-10, abs_tol=1e-8)
+    carry = sh.initial_carry(prob)
+    push = 0.005 * np.array([1.0, 2.0]) / np.sqrt(5.0)
+    for _ in range(n_steps):
+        tool.cps[:] -= push
+        scene.plant_kd_tree(2000, 1)
+        carry = step(carry, contact_scenes=[scene.scene_data()])
+    return carry
+
+
+def test_compiled_contact_vs_interactive():
+    """The compiled step's two-pass mortar contact (+ viscosity) must
+    reproduce the interactive nl_contact-style press trajectory."""
+    from mimi_tpu.splines import Bezier
+
+    # interactive run (test_contact._press_setup config)
+    nl = mimi.NonlinearSolid()
+    nl.read_mesh(os.path.join(DATA, "square-nurbs.mesh"))
+    nl.elevate_degrees(1)
+    nl.subdivide(2)
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1e3
+    mat.viscosity = 100.0
+    mat.set_young_poisson(1e6, 0.3)
+    nl.set_material(mat)
+    tool = Bezier([1], [[-1.885, 2.464], [1.903, 0.570]])
+    scene = mimi.NearestDistanceToSplines()
+    scene.add_spline(tool)
+    scene.plant_kd_tree(2000, 1)
+    scene.coefficient = 5e7
+    rc = mimi.RuntimeCommunication()
+    rc.set_real("ode_coefficient", 0.5)
+    nl.runtime_communication = rc
+    bc = mimi.BoundaryConditions()
+    bc.initial.dirichlet(0, 0).dirichlet(0, 1)
+    bc.current.contact(1, scene)
+    nl.boundary_condition = bc
+    nl.setup(1)
+    nl.configure_newton("nonlinear_solid", 1e-10, 1e-8, 60, False)
+    nl.time_step_size = 0.01
+    push = 0.005 * np.array([1.0, 2.0]) / np.sqrt(5.0)
+    for _ in range(4):
+        tool.cps[:] -= push
+        scene.plant_kd_tree(2000, 1)
+        nl.step_time2()
+    u_i = np.asarray(nl._system.u)
+
+    carry = _run_press_compiled(1)
+    u_c = np.asarray(carry["u"])
+    assert abs(u_c).max() > 1e-4  # contact actually engaged
+    assert np.allclose(u_i, u_c, atol=1e-6), np.abs(u_i - u_c).max()
+    # observability: compiled contact force points along inward normal
+    force = np.asarray(carry["contact"][0]["force"])
+    assert force[0] < 0 and force[1] < 0
+
+
+def test_compiled_contact_device_invariance():
+    """6 steps so the tool (0.02 offset, 0.005/step) is truly engaged —
+    the sharded contact scatter path must agree with single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    c1 = _run_press_compiled(1, n_steps=6)
+    c8 = _run_press_compiled(8, n_steps=6)
+    u1, u8 = np.asarray(c1["u"]), np.asarray(c8["u"])
+    assert abs(u1).max() > 1e-3  # engaged
+    assert np.allclose(u1, u8, atol=1e-10), np.abs(u1 - u8).max()
+
+
+def test_compiled_contact_iterative_matches_dense():
+    """Block-Jacobi GMRES must handle the contact-stiff tangent
+    (VERDICT round-1 item 7): same trajectory as the dense LU path."""
+    ud = np.asarray(_run_press_compiled(1, n_steps=6, solver="dense")["u"])
+    ug = np.asarray(
+        _run_press_compiled(1, n_steps=6, solver="iterative")["u"]
+    )
+    assert abs(ud).max() > 1e-3
+    assert np.allclose(ud, ug, atol=1e-7), np.abs(ud - ug).max()
+
+
+def test_compiled_newton_diagnostics():
+    prob = sh.build_problem(
+        os.path.join(DATA, "balken.mesh"), 2, 1, _neo_mat(),
+        [(2, 0), (2, 1)], {1: -3.0}, rho_inf=0.5,
+    )
+    step = sh.make_step(prob, 0.5, newton_iters=20, solver="dense")
+    carry = step(sh.initial_carry(prob))
+    nd = carry["newton"]
+    assert bool(nd["converged"])
+    assert 0 < int(nd["iters"]) <= 20
+    assert float(nd["norm"]) <= max(
+        1e-8 * float(nd["norm0"]), 1e-12
+    )
+
+
+def test_pallas_guardrails():
+    """Unsupported feature combos must raise loudly, not silently drop
+    physics."""
+    m = _neo_mat()
+    m.viscosity = 10.0
+    prob = sh.build_problem(
+        os.path.join(DATA, "balken.mesh"), 1, 1, m,
+        [(2, 0), (2, 1)], {1: -1.0}, dtype=jnp.float32,
+    )
+    with pytest.raises(ValueError, match="viscosity"):
+        sh.make_step(prob, 0.1, residual_impl="pallas")

@@ -31,6 +31,7 @@ from .hardening import Hardening  # noqa: F401
 from .logm import expm_sym, logm_sym
 from .scalar_solve import make_scalar_solver
 from .tensor import dev, elastic_strain, fro_norm, det_small, inv_small
+from ..fem import soa
 
 _K_TOL = 1.0e-10
 
@@ -70,6 +71,11 @@ class Material:
 
     # -- interface consumed by the assembly layer --
     has_state = False
+    # SoA fast path: pk1_soa/accumulate_soa take F as (dim, dim, *batch)
+    # (fem/soa.py layout contract) and state leaves with tensor dims
+    # leading; the compiled core (parallel/sharding.py) uses them to keep
+    # every intermediate batch-last on TPU.
+    has_soa = False
 
     def setup(self, dim):
         self.dim = dim
@@ -83,6 +89,12 @@ class Material:
     def accumulate(self, F, state, dt):
         return state
 
+    def pk1_soa(self, F, state, dt):
+        raise NotImplementedError(f"{self.name()} has no SoA fast path")
+
+    def accumulate_soa(self, F, state, dt):
+        return state
+
 
 def _pk1_from_cauchy(sigma, F):
     """P = det(F) sigma F^{-T} (materials.cpp:60-71)."""
@@ -90,7 +102,15 @@ def _pk1_from_cauchy(sigma, F):
     return J * sigma @ inv_small(F).T
 
 
+def _pk1_from_cauchy_soa(sigma, F):
+    """SoA layout: P = det(F) sigma F^{-T}."""
+    J = soa.det(F)
+    return J * soa.matmul_nt(sigma, soa.inv(F))
+
+
 class StVenantKirchhoff(Material):
+    has_soa = True
+
     def pk1(self, F, state, dt):
         d = F.shape[-1]
         I = jnp.eye(d, dtype=F.dtype)
@@ -98,8 +118,17 @@ class StVenantKirchhoff(Material):
         S = self.lambda_ * jnp.trace(E) * I + 2.0 * self.mu * E
         return F @ S
 
+    def pk1_soa(self, F, state, dt):
+        d = F.shape[0]
+        I = soa.eye(d, F)
+        E = 0.5 * (soa.matmul_tn(F, F) - I)
+        S = self.lambda_ * soa.trace(E) * I + 2.0 * self.mu * E
+        return soa.matmul(F, S)
+
 
 class CompressibleOgdenNeoHookean(Material):
+    has_soa = True
+
     def pk1(self, F, state, dt):
         d = F.shape[-1]
         I = jnp.eye(d, dtype=F.dtype)
@@ -108,6 +137,15 @@ class CompressibleOgdenNeoHookean(Material):
         mu_over_J = self.mu / J
         sigma = mu_over_J * B + (-mu_over_J + self.lambda_ * (J - 1.0)) * I
         return _pk1_from_cauchy(sigma, F)
+
+    def pk1_soa(self, F, state, dt):
+        d = F.shape[0]
+        I = soa.eye(d, F)
+        J = soa.det(F)
+        B = soa.matmul_nt(F, F)
+        mu_over_J = self.mu / J
+        sigma = mu_over_J * B + (-mu_over_J + self.lambda_ * (J - 1.0)) * I
+        return _pk1_from_cauchy_soa(sigma, F)
 
 
 class J2Linear(Material):
@@ -154,6 +192,40 @@ class J2Linear(Material):
 
     def accumulate(self, F, state, dt):
         _, _, eta_hat, dps = self._common(F, state)
+        return {
+            "plastic_strain": state["plastic_strain"]
+            + jnp.sqrt(1.5) * dps * eta_hat,
+            "beta": state["beta"]
+            + jnp.sqrt(2.0 / 3.0) * self.kinematic_hardening * dps * eta_hat,
+            "eqps": state["eqps"] + dps,
+        }
+
+    has_soa = True
+
+    def _common_soa(self, F, state):
+        G = self.G
+        d = F.shape[0]
+        eps = soa.sym(F) - soa.eye(d, F) - state["plastic_strain"]
+        p = self.K * soa.trace(eps)
+        s = soa.dev(eps, 2.0 * G)
+        eta = s - state["beta"]
+        eta_norm = soa.fro_norm(eta)
+        q = jnp.sqrt(1.5) * eta_norm
+        phi = q - (self.sigma_y + self.isotropic_hardening * state["eqps"])
+        denom = 3.0 * G + self.kinematic_hardening + self.isotropic_hardening
+        dps = jnp.where(phi > 0.0, phi / denom, 0.0)
+        eta_hat = eta / jnp.where(eta_norm > 0.0, eta_norm, 1.0)
+        return p, s, eta_hat, dps
+
+    def pk1_soa(self, F, state, dt):
+        d = F.shape[0]
+        p, s, eta_hat, dps = self._common_soa(F, state)
+        s = s - jnp.sqrt(6.0) * self.G * dps * eta_hat
+        sigma = s + p * soa.eye(d, F)
+        return _pk1_from_cauchy_soa(sigma, F)
+
+    def accumulate_soa(self, F, state, dt):
+        _, _, eta_hat, dps = self._common_soa(F, state)
         return {
             "plastic_strain": state["plastic_strain"]
             + jnp.sqrt(1.5) * dps * eta_hat,
@@ -217,8 +289,12 @@ class _J2ThermoBase(Material):
         active = r0 > self._tolerance
         eval0 = hard.evaluate(eqps_old)
         ub_raw = (q - eval0 * thermo) / slope
-        # benign substitute problem for inactive lanes (result discarded)
-        q_safe = jnp.where(active, q, eval0 * thermo + 0.5 * slope)
+        # benign substitute problem for inactive lanes (result discarded):
+        # q = eval0*thermo makes residual(0) == 0, so inactive lanes
+        # converge on the solver's first check instead of iterating — in
+        # the batched (SoA) regime the while_loop runs until the slowest
+        # lane converges, so elastic lanes must be instant
+        q_safe = jnp.where(active, q, eval0 * thermo)
         ub = jnp.where(active, ub_raw, 1.0)
         theta_ng = tuple(
             sg(x) for x in (q_safe, eqps_old, thermo, dt, slope)
@@ -228,11 +304,14 @@ class _J2ThermoBase(Material):
         )
         # differentiable re-injection (theta with gradients)
         fval = self._residual(d_star, q_safe, eqps_old, thermo, dt, slope)
-        fprime = sg(
-            jax.grad(self._residual, argnums=0)(
-                d_star, *theta_ng
-            )
+        # elementwise d(residual)/d(delta) via jvp (batch-polymorphic;
+        # jax.grad would require a scalar output)
+        _, fprime_raw = jax.jvp(
+            lambda x: self._residual(x, *theta_ng),
+            (d_star,),
+            (jnp.ones_like(d_star),),
         )
+        fprime = sg(fprime_raw)
         delta = d_star - fval / fprime
         return jnp.where(active, delta, 0.0), active
 
@@ -270,6 +349,49 @@ class J2(_J2ThermoBase):
 
     def accumulate(self, F, state, dt):
         p, s, q = self._trial(F, state)
+        thermo = self.hardening.thermo_contribution(state["temperature"])
+        delta, active = self._solve_delta_eqps(
+            q, state["eqps"], thermo, dt, 3.0 * self.G
+        )
+        N_p = (1.5 / jnp.where(q > 0.0, q, 1.0)) * s
+        new = dict(state)
+        new["eqps"] = state["eqps"] + delta
+        new["plastic_strain"] = state["plastic_strain"] + delta * N_p
+        if self.hardening.is_temperature_dependent():
+            new["temperature"] = state["temperature"] + jnp.where(
+                active,
+                self.heat_fraction
+                * q
+                * delta
+                / (self.density * self.specific_heat),
+                0.0,
+            )
+        return new
+
+    has_soa = True
+
+    def _trial_soa(self, F, state):
+        d = F.shape[0]
+        eps = soa.sym(F) - soa.eye(d, F) - state["plastic_strain"]
+        p = self.K * soa.trace(eps)
+        s = soa.dev(eps, 2.0 * self.G)
+        q = jnp.sqrt(1.5) * soa.fro_norm(s)
+        return p, s, q
+
+    def pk1_soa(self, F, state, dt):
+        d = F.shape[0]
+        p, s, q = self._trial_soa(F, state)
+        thermo = self.hardening.thermo_contribution(state["temperature"])
+        delta, active = self._solve_delta_eqps(
+            q, state["eqps"], thermo, dt, 3.0 * self.G
+        )
+        N_p = (1.5 / jnp.where(q > 0.0, q, 1.0)) * s
+        s = s - 2.0 * self.G * delta * N_p
+        sigma = s + p * soa.eye(d, F)
+        return _pk1_from_cauchy_soa(sigma, F)
+
+    def accumulate_soa(self, F, state, dt):
+        p, s, q = self._trial_soa(F, state)
         thermo = self.hardening.thermo_contribution(state["temperature"])
         delta, active = self._solve_delta_eqps(
             q, state["eqps"], thermo, dt, 3.0 * self.G
@@ -344,6 +466,60 @@ class J2Simo(_J2ThermoBase):
 
     def accumulate(self, F, state, dt):
         be, s, q, delta, active = self._return_map(F, state, dt)
+        new = dict(state)
+        new["F_old"] = F
+        new["be_old"] = be
+        new["eqps"] = state["eqps"] + delta
+        if self.hardening.is_temperature_dependent():
+            new["temperature"] = state["temperature"] + jnp.where(
+                active,
+                self.heat_fraction
+                * q
+                * delta
+                / (self.density * self.specific_heat),
+                0.0,
+            )
+        return new
+
+    has_soa = True
+
+    def _trial_soa(self, F, state):
+        d = F.shape[0]
+        f_inv = soa.matmul(state["F_old"], soa.inv(F))
+        f_bar = soa.inv(f_inv)
+        f_bar = f_bar * jnp.cbrt(soa.det(f_bar))
+        be = soa.matmul_nt(soa.matmul(f_bar, state["be_old"]), f_bar)
+        s = soa.dev(be, self.G)
+        s_norm = soa.fro_norm(s)
+        near_zero = s_norm < jnp.finfo(s.dtype).eps
+        N_p = jnp.where(
+            near_zero,
+            jnp.sqrt(0.5) * jnp.broadcast_to(soa.eye(d, F), s.shape),
+            jnp.sqrt(1.5) / jnp.where(near_zero, 1.0, s_norm) * s,
+        )
+        q = soa.ddot(N_p, s)  # s_effective
+        return be, s, N_p, q
+
+    def _return_map_soa(self, F, state, dt):
+        be, s, N_p, q = self._trial_soa(F, state)
+        thermo = self.hardening.thermo_contribution(state["temperature"])
+        be_trace = soa.trace(be)
+        delta, active = self._solve_delta_eqps(
+            q, state["eqps"], thermo, dt, self.G * be_trace
+        )
+        be = be - (2.0 / 3.0) * delta * be_trace * N_p
+        s = soa.dev(be, self.G)
+        return be, s, q, delta, active
+
+    def pk1_soa(self, F, state, dt):
+        d = F.shape[0]
+        be, s, q, delta, active = self._return_map_soa(F, state, dt)
+        J = soa.det(F)
+        tau = s + self.K * (J * J - 1.0) * 0.5 * soa.eye(d, F)
+        return soa.matmul_nt(tau, soa.inv(F))
+
+    def accumulate_soa(self, F, state, dt):
+        be, s, q, delta, active = self._return_map_soa(F, state, dt)
         new = dict(state)
         new["F_old"] = F
         new["be_old"] = be

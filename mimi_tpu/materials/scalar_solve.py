@@ -27,8 +27,21 @@ def make_scalar_solver(residual_fn, xtol, rtol_factor, max_iter=100):
     rtol is per-call: rtol = rtol_factor placeholder — callers pass rtol as
     first element of theta?  Simpler: rtol passed explicitly at call time.
     Returns solve(x0, lo, hi, rtol, theta) with implicit-diff JVP in theta.
+
+    Shape-polymorphic: x0/lo/hi/theta may be arbitrary broadcastable
+    batches (the SoA hot path calls it on whole (n_el, n_q) planes at
+    once instead of vmapping per quad point); the while_loop then runs
+    until every lane converges, freezing lanes that already have.
     """
-    val_grad = jax.value_and_grad(residual_fn, argnums=0)
+
+    def val_grad(x, *theta):
+        # value_and_grad requires scalar outputs; the elementwise jvp
+        # with a ones tangent is the batch-polymorphic equivalent for
+        # scalar->scalar maps applied lane-wise.
+        x = jnp.asarray(x)
+        return jax.jvp(
+            lambda xx: residual_fn(xx, *theta), (x,), (jnp.ones_like(x),)
+        )
 
     def _solve_raw(x0, lo, hi, rtol, theta):
         f_lo, _ = val_grad(lo, *theta)
@@ -45,7 +58,7 @@ def make_scalar_solver(residual_fn, xtol, rtol_factor, max_iter=100):
 
         def cond(state):
             x, dx, dxo, f, df, xl_, xh_, it, conv = state
-            return (~conv) & (it < max_iter)
+            return jnp.any(~conv) & (it < max_iter)
 
         def body(state):
             x, dx, dxo, f, df, xl_, xh_, it, conv = state
@@ -61,10 +74,16 @@ def make_scalar_solver(residual_fn, xtol, rtol_factor, max_iter=100):
             x_newt = x - dx_newt
             dx_new = jnp.where(use_bisect, dx_bis, dx_newt)
             x_new = jnp.where(use_bisect, x_bis, x_newt)
+            # freeze already-converged lanes (batched solve: the loop
+            # runs until the slowest lane converges)
+            x_new = jnp.where(conv, x, x_new)
+            dx_new = jnp.where(conv, dx, dx_new)
             f_new, df_new = val_grad(x_new, *theta)
-            conv_new = (jnp.abs(dx_new) < xtol) | (jnp.abs(f_new) < rtol)
-            xl_new = jnp.where(f_new < 0.0, x_new, xl_)
-            xh_new = jnp.where(f_new < 0.0, xh_, x_new)
+            conv_new = conv | (
+                (jnp.abs(dx_new) < xtol) | (jnp.abs(f_new) < rtol)
+            )
+            xl_new = jnp.where((f_new < 0.0) & (~conv), x_new, xl_)
+            xh_new = jnp.where((f_new < 0.0) | conv, xh_, x_new)
             return (
                 x_new,
                 dx_new,
@@ -77,16 +96,22 @@ def make_scalar_solver(residual_fn, xtol, rtol_factor, max_iter=100):
                 conv_new,
             )
 
+        conv0 = jnp.zeros(
+            jnp.broadcast_shapes(
+                jnp.shape(x_init), jnp.shape(f0), jnp.shape(xl)
+            ),
+            bool,
+        )
         state = (
-            x_init,
-            delta0,
-            delta0,
-            f0,
-            df0,
-            xl,
-            xh,
+            jnp.broadcast_to(x_init, conv0.shape),
+            jnp.broadcast_to(delta0, conv0.shape),
+            jnp.broadcast_to(delta0, conv0.shape),
+            jnp.broadcast_to(f0, conv0.shape),
+            jnp.broadcast_to(df0, conv0.shape),
+            jnp.broadcast_to(xl, conv0.shape),
+            jnp.broadcast_to(xh, conv0.shape),
             jnp.array(0),
-            jnp.array(False),
+            conv0,
         )
         x_sol = jax.lax.while_loop(cond, body, state)[0]
 
@@ -105,8 +130,10 @@ def make_scalar_solver(residual_fn, xtol, rtol_factor, max_iter=100):
         _, dlo, dhi, _, dtheta = tangents
         x_star = solve(x0, lo, hi, rtol, theta)
         # implicit diff: dr/dx * dx + dr/dtheta . dtheta = 0
-        _, df_dx = jax.value_and_grad(residual_fn, argnums=0)(
-            x_star, *theta
+        _, df_dx = jax.jvp(
+            lambda xx: residual_fn(xx, *theta),
+            (x_star,),
+            (jnp.ones_like(x_star),),
         )
         # JVP of residual in theta directions at fixed x
         r_theta = lambda th: residual_fn(x_star, *th)

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fem import kernels as K
+from ..fem import soa
 from ..fem.space import FESpace
 from ..nurbs.mesh_io import read_mfem_nurbs_mesh
 from ..nurbs.topology import build_patch_from_mesh
@@ -50,6 +51,7 @@ from ..solvers.linear import (
     block_jacobi_inverse,
     block_jacobi_apply,
 )
+from ..solvers.fdm import build_fdm_data, make_fdm_apply
 from ..contact.mortar import make_contact_fns
 
 
@@ -83,6 +85,13 @@ class Problem:
     # companion (n_local, query fn)
     contact: list = field(default_factory=list)
     contact_static: list = field(default_factory=list)
+    # True when state0 (and the carry state) use the SoA layout
+    # (fem/soa.py): tensor dims leading, (n_el, n_q) trailing — the
+    # TPU-tiling-friendly layout the compiled hot path runs in
+    state_soa: bool = False
+    # tensor-product fast-diagonalization preconditioner data
+    # (solvers/fdm.py), or None when the patch/BCs don't factorize
+    fdm: dict | None = None
 
     def tree_arrays(self):
         return [
@@ -223,6 +232,18 @@ def build_problem(
         if material.has_state
         else None
     )
+    # carry the state in the SoA layout (tensor dims leading) when the
+    # material has a SoA fast path: every (n_el, n_q, d, d) buffer would
+    # otherwise be tile-padded (3,3)->(8,128) by XLA-TPU, a ~114x
+    # memory/bandwidth blow-up on the hot path
+    state_soa = state0 is not None and getattr(material, "has_soa", False)
+    if state_soa:
+        state0 = soa.state_to_soa(state0)
+
+    try:
+        fdm = build_fdm_data(fes, dir_pairs, material)
+    except Exception:
+        fdm = None
 
     cast = lambda a: jnp.asarray(a, dtype) if a.dtype.kind == "f" else jnp.asarray(a)
 
@@ -304,6 +325,8 @@ def build_problem(
         cv_vals=cast(cv_vals) if cv_vals is not None else None,
         contact=contact_data,
         contact_static=contact_static,
+        state_soa=state_soa,
+        fdm=fdm,
     )
 
 
@@ -362,6 +385,10 @@ def _explicit_accel(prob: Problem, u, v, state, dt):
     conn = prob.conn
     free = prob.free
     I = jnp.eye(dim, dtype=prob.rhs.dtype)
+    if prob.state_soa and state is not None:
+        # one-time path: convert to the per-quad layout the vmapped
+        # element kernel below expects
+        state = soa.state_from_soa(state)
 
     def elem_residual(u_el, dNdX_e, wdet_e, state_e):
         F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
@@ -407,9 +434,12 @@ def make_step(
     solver: str = "dense",
     cg_iters: int = 200,
     chunk: int | None = None,
-    residual_impl: str = "xla",
+    residual_impl: str = "auto",
     rel_tol: float = 1e-8,
     abs_tol: float = 1e-12,
+    lin_rel_tol: float | None = None,
+    lin_abs_tol: float | None = None,
+    precond: str = "auto",
 ):
     """Fully jitted generalized-alpha step: carry -> carry.
 
@@ -429,11 +459,25 @@ def make_step(
     residual evaluation; frozen-pressure consistent tangent, exactly the
     reference's per-element FD linearization, mortar_contact.cpp:263-295).
 
-    `residual_impl="pallas"` routes the line-search residual evaluations
-    and the GMRES matvec through the fused VMEM kernels
-    (ops/pallas_residual.py).  Requires a neo-Hookean material and a
-    float32 problem; single-chip, no contact.  Off TPU it runs in
-    interpret mode (correctness-only).
+    `residual_impl` selects the assembly engine:
+      - "auto" (default): the SoA batch-last engine ("soa") when the
+        material implements the SoA fast path (materials.has_soa) and
+        the solver is iterative; otherwise the einsum engine ("xla").
+      - "soa": structure-of-arrays hot path (fem/soa.py) — every
+        intermediate keeps the (n_el, n_q) quadrature batch in the
+        minor-most (tiled) dims; the element tangent comes from
+        jax.linearize with 9 one-hot seeds (no jacfwd lane padding);
+        mass/viscosity/stiffness fuse into single quadrature sweeps.
+      - "xla": the original batch-first einsum engine (any material).
+      - "pallas": fused VMEM kernels (ops/pallas_residual.py) for the
+        line-search residuals and the GMRES matvec.  Requires a
+        neo-Hookean material and a float32 problem; single-chip, no
+        contact.  Off TPU it runs in interpret mode (correctness-only).
+
+    `lin_rel_tol`/`lin_abs_tol` set the inner (GMRES/CG) stopping
+    tolerances.  Defaults: 1e-8/1e-12 in float64; 3e-6/1e-12 in float32,
+    where 1e-8 is below machine epsilon and would burn the full
+    iteration budget on every solve (inexact-Newton forcing).
 
     All large arrays enter the compiled function as ARGUMENTS —
     embedding them as closure constants makes XLA constant-fold
@@ -466,6 +510,46 @@ def make_step(
     contact_fns = _contact_fns_for(prob)
     has_contact = bool(contact_fns)
 
+    mat_has_soa = getattr(mat, "has_soa", False) or not mat.has_state
+    if residual_impl == "auto":
+        residual_impl = "soa" if (mat_has_soa and iterative) else "xla"
+    use_soa = residual_impl == "soa"
+    if use_soa:
+        if not iterative:
+            raise ValueError(
+                "residual_impl='soa' requires an iterative solver "
+                "(the dense path assembles the full matrix batch-first)"
+            )
+        if not mat_has_soa:
+            raise ValueError(
+                f"{mat.name()} has no SoA fast path; use "
+                "residual_impl='xla'"
+            )
+    if lin_rel_tol is None:
+        lin_rel_tol = 1e-8 if prob.rhs.dtype == jnp.float64 else 3e-6
+    if lin_abs_tol is None:
+        lin_abs_tol = 1e-12
+
+    # inner-solve preconditioner: tensor-product fast diagonalization
+    # (solvers/fdm.py, h-independent GMRES counts) when the patch/BCs
+    # factorize and no contact perturbs the spectrum; per-control-point
+    # block-Jacobi otherwise
+    if precond == "auto":
+        precond = (
+            "fdm"
+            if (use_soa and prob.fdm is not None and not has_contact)
+            else "bj"
+        )
+    if precond == "fdm":
+        if prob.fdm is None:
+            raise ValueError(
+                "precond='fdm' requested but the problem has no "
+                "tensor-product decomposition (Problem.fdm is None)"
+            )
+        fdm_apply = make_fdm_apply(prob.fdm, fac0, fac1, prob.rhs.dtype)
+    elif precond != "bj":
+        raise ValueError(f"unknown precond {precond!r}")
+
     use_pallas = residual_impl == "pallas"
     if use_pallas:
         from ..materials import CompressibleOgdenNeoHookean
@@ -492,7 +576,7 @@ def make_step(
             b for b in (32, 16, 8, 4, 2, 1) if prob.n_el % b == 0
         )
         _interpret = jax.default_backend() != "tpu"
-    elif residual_impl != "xla":
+    elif residual_impl not in ("xla", "soa"):
         raise ValueError(f"unknown residual_impl {residual_impl!r}")
 
     data = {
@@ -512,6 +596,44 @@ def make_step(
     if use_pallas:
         # (dim, nd, n_el, n_q): element axis on sublanes, quads on lanes
         data["dNdX_t"] = jnp.transpose(prob.dN_dX, (3, 2, 0, 1))
+    if use_soa:
+        # batch-last tables: (n, f, e, q) and (n, e, q)
+        data["dN_t"] = jnp.transpose(prob.dN_dX, (2, 3, 0, 1))
+        data["N_t"] = jnp.transpose(prob.N, (2, 0, 1))
+        # static block-Jacobi: M + fac1 S + fac0 K_elastic per-node
+        # (dim x dim) blocks.  The geometry is total-Lagrangian (dN/dX,
+        # w detJ constant), so the elastic surrogate of the consistent
+        # tangent gives a Newton-iteration-independent preconditioner —
+        # built once here instead of per assemble.  C_el[cdgf] =
+        # lam d_cd d_gf + mu (d_cg d_df + d_cf d_dg)  =>
+        # node block = fac0 [(lam+mu) A + mu tr(A) I] + (m + fac1 s) I,
+        # A[c,g] = sum_q w dN_c dN_g (symmetric).
+        lam_s = max(float(mat.lambda_), 0.0)
+        mu_s = max(float(mat.mu), 0.0)
+        A_el = jnp.einsum(
+            "eq,eqnc,eqng->encg", prob.w_detJ, prob.dN_dX, prob.dN_dX
+        )
+        eye_d = jnp.eye(dim, dtype=prob.rhs.dtype)
+        kb_el = (lam_s + mu_s) * A_el + mu_s * jnp.einsum(
+            "encc->en", A_el
+        )[..., None, None] * eye_d
+        nblocks = (
+            jnp.zeros((n_dof, dim, dim), prob.rhs.dtype)
+            .at[prob.conn]
+            .add(kb_el)
+            * fac0
+        )
+        m_diag_s = jnp.zeros(n_dof, prob.rhs.dtype).at[prob.conn].add(
+            jnp.einsum("enn->en", prob.mass_blocks)
+        )
+        nblocks = nblocks + m_diag_s[:, None, None] * eye_d
+        if has_visc:
+            s_diag_s = jnp.zeros(n_dof, prob.rhs.dtype).at[
+                prob.conn
+            ].add(jnp.einsum("enn->en", prob.visc_blocks))
+            nblocks = nblocks + fac1 * s_diag_s[:, None, None] * eye_d
+        data["bj_nblocks"] = nblocks
+        data["bj_inv_static"] = block_jacobi_inverse(nblocks, prob.free)
 
     def pk1_and_tangent(Fq, state_q):
         def fn(Fx):
@@ -602,17 +724,104 @@ def make_step(
                 )
             return out, blocks_l, aux_l
 
-        def residual(aa, xa, va, state):
-            temp_x = xa + fac0 * aa
-            y = mass_apply(aa * free) + E(temp_x, state)
-            if has_visc:
-                y = y + visc_apply(va + fac1 * aa)
-            if has_contact:
-                y = y + contact_residual(temp_x)
-            return (y - rhs) * free
-
         d2 = dim * dim
         n_el, n_q = wdet.shape
+
+        if use_soa:
+            # ---- structure-of-arrays engine (fem/soa.py layout) ----
+            # every intermediate keeps (n_el, n_q) as the minor-most
+            # (tiled) dims; the d/nd loops unroll into fused VPU code.
+            dN_t = d["dN_t"]  # (nd, dim, n_el, n_q)
+            N_t = d["N_t"]  # (nd, n_el, n_q)
+            nd_s = conn.shape[1]
+            rho_s = mat.density
+            mu_v = mat.viscosity if has_visc else 0.0
+            I_soa = jnp.eye(dim, dtype=rhs.dtype).reshape(
+                dim, dim, 1, 1
+            )
+
+            def gather_t(u):
+                # (n_dof, dim) -> (dim, nd, n_el)
+                return jnp.transpose(u[conn], (2, 1, 0))
+
+            def grad_interp(w_t):
+                # dF[g,f](e,q) = sum_n w_t[g,n](e) dN_t[n,f](e,q)
+                return soa.stack2(
+                    [
+                        [
+                            sum(
+                                w_t[g, n][:, None] * dN_t[n, f_]
+                                for n in range(nd_s)
+                            )
+                            for f_ in range(dim)
+                        ]
+                        for g in range(dim)
+                    ]
+                )
+
+            def value_interp(w_t):
+                # uq[c](e,q) = sum_n w_t[c,n](e) N_t[n](e,q)
+                return jnp.stack(
+                    [
+                        sum(
+                            w_t[c, n][:, None] * N_t[n]
+                            for n in range(nd_s)
+                        )
+                        for c in range(dim)
+                    ]
+                )
+
+            def scatter_qp(P_eff, vec=None):
+                # y[n,c] = sum_q wdet (sum_d dN_t[n,d] P_eff[c,d]
+                #                      + N_t[n] vec[c])
+                rows = []
+                for n in range(nd_s):
+                    cols_c = []
+                    for c in range(dim):
+                        integ = sum(
+                            dN_t[n, dd] * P_eff[c, dd]
+                            for dd in range(dim)
+                        )
+                        if vec is not None:
+                            integ = integ + N_t[n] * vec[c]
+                        cols_c.append((wdet * integ).sum(-1))
+                    rows.append(jnp.stack(cols_c, -1))  # (e, dim)
+                res_el = jnp.stack(rows, 1)  # (e, nd, dim)
+                return (
+                    jnp.zeros((n_dof, dim), res_el.dtype)
+                    .at[conn]
+                    .add(res_el)
+                )
+
+            def visc_add(P, aa, va):
+                # S (v + fac1 a) as a diffusion flux fused into the
+                # same quadrature sweep
+                if not has_visc:
+                    return P
+                dV = grad_interp(gather_t(va + fac1 * aa))
+                return P + mu_v * dV
+
+            def residual(aa, xa, va, state):
+                x_t = gather_t(xa + fac0 * aa)
+                F = I_soa + grad_interp(x_t)
+                P = mat.pk1_soa(F, state, dt)
+                P = visc_add(P, aa, va)
+                vecm = rho_s * value_interp(gather_t(aa * free))
+                y = scatter_qp(P, vecm)
+                if has_contact:
+                    y = y + contact_residual(xa + fac0 * aa)
+                return (y - rhs) * free
+
+        else:
+
+            def residual(aa, xa, va, state):
+                temp_x = xa + fac0 * aa
+                y = mass_apply(aa * free) + E(temp_x, state)
+                if has_visc:
+                    y = y + visc_apply(va + fac1 * aa)
+                if has_contact:
+                    y = y + contact_residual(temp_x)
+                return (y - rhs) * free
 
         def assemble_PC_t(aa, xa, state):
             """Residual + material tangent, tangent returned batch-last
@@ -693,7 +902,108 @@ def make_step(
             def res_fn(aa):
                 return residual(aa, xa, va, state)
 
-            if iterative:
+            if use_soa:
+                # residual + material tangent via jax.linearize with 9
+                # one-hot seeds: the tangent C[c,d,g,f](e,q) stays
+                # batch-last (no jacfwd lane padding), and the matvec
+                # fuses mass + viscosity + fac0*K into one sweep.
+                def assemble_fn(aa):
+                    x_t = gather_t(xa + fac0 * aa)
+                    F = I_soa + grad_interp(x_t)
+                    P_lin, jvp_fn = jax.linearize(
+                        lambda Ft: mat.pk1_soa(Ft, state, dt), F
+                    )
+                    cols = []
+                    for g in range(dim):
+                        for f_ in range(dim):
+                            seed = (
+                                jnp.zeros((dim, dim, 1, 1), F.dtype)
+                                .at[g, f_]
+                                .set(1.0)
+                            )
+                            cols.append(
+                                jvp_fn(jnp.broadcast_to(seed, F.shape))
+                            )
+                    C = jnp.stack(cols).reshape(
+                        dim, dim, dim, dim, n_el, n_q
+                    )  # (g, f, c, d, e, q)
+                    C = jnp.transpose(C, (2, 3, 0, 1, 4, 5))
+                    P_eff = visc_add(P_lin, aa, va)
+                    vecm = rho_s * value_interp(gather_t(aa * free))
+                    r = scatter_qp(P_eff, vecm)
+                    ctx = {"C": C}
+                    if has_contact:
+                        rc_, blocks_l, aux_l = contact_assemble(
+                            xa + fac0 * aa
+                        )
+                        r = r + rc_
+                        ctx["cblocks"] = blocks_l
+                        if precond == "bj":
+                            nb = d["bj_nblocks"] + fac0 * (
+                                contact_node_blocks(blocks_l)
+                            )
+                            ctx["bj_inv"] = block_jacobi_inverse(
+                                nb, free
+                            )
+                    elif precond == "bj":
+                        ctx["bj_inv"] = d["bj_inv_static"]
+                    r = (r - rhs) * free
+                    return r, ctx
+
+                def solve_fn(ctx, r):
+                    C = ctx["C"]
+
+                    def J_apply(w_flat):
+                        w = w_flat.reshape(n_dof, dim) * free
+                        w_t = gather_t(w)
+                        dF = grad_interp(w_t)
+                        dP = soa.stack2(
+                            [
+                                [
+                                    fac0
+                                    * sum(
+                                        C[c, dd, g, f_] * dF[g, f_]
+                                        for g in range(dim)
+                                        for f_ in range(dim)
+                                    )
+                                    + (
+                                        (fac1 * mu_v) * dF[c, dd]
+                                        if has_visc
+                                        else 0.0
+                                    )
+                                    for dd in range(dim)
+                                ]
+                                for c in range(dim)
+                            ]
+                        )
+                        vec = rho_s * value_interp(w_t)
+                        y = scatter_qp(dP, vec)
+                        if has_contact:
+                            y = y + fac0 * contact_block_apply(
+                                ctx["cblocks"], w
+                            )
+                        return (
+                            y * free
+                            + w_flat.reshape(n_dof, dim) * (1 - free)
+                        ).reshape(-1)
+
+                    if precond == "fdm":
+                        M_apply = fdm_apply
+                    else:
+                        bj = ctx["bj_inv"]
+                        M_apply = lambda v: block_jacobi_apply(bj, v)
+                    c = gmres(
+                        J_apply,
+                        r.reshape(-1),
+                        M_apply=M_apply,
+                        rel_tol=lin_rel_tol,
+                        abs_tol=lin_abs_tol,
+                        restart=30,
+                        max_iter=cg_iters,
+                    )
+                    return c.reshape(n_dof, dim)
+
+            elif iterative:
                 m_diag = jnp.zeros(n_dof, rhs.dtype).at[conn].add(
                     jnp.einsum("enn->en", mass_blocks)
                 )
@@ -833,8 +1143,8 @@ def make_step(
                             J_apply,
                             r.reshape(-1),
                             ctx["diag"],
-                            rel_tol=1e-8,
-                            abs_tol=1e-12,
+                            rel_tol=lin_rel_tol,
+                            abs_tol=lin_abs_tol,
                             max_iter=cg_iters,
                         )
                     else:
@@ -848,8 +1158,8 @@ def make_step(
                             M_apply=lambda v: block_jacobi_apply(
                                 bj, v
                             ),
-                            rel_tol=1e-8,
-                            abs_tol=1e-12,
+                            rel_tol=lin_rel_tol,
+                            abs_tol=lin_abs_tol,
                             restart=30,
                             max_iter=cg_iters,
                         )
@@ -1002,6 +1312,10 @@ def make_step(
             carry["a"],
             carry["state"],
         )
+        if state is not None and prob.state_soa and not use_soa:
+            # carry keeps the SoA layout; the einsum/dense engines
+            # expect per-quad trailing tensor dims
+            state = soa.state_from_soa(state)
         prev_fac = 1.0 - f["fac1_inv"]
         xa = u + (v + f["fac0"] * dt * a) * f["fac1"] * dt
         va = v + f["fac2"] * dt * a
@@ -1025,9 +1339,15 @@ def make_step(
             v_new = jnp.where(cvm > 0, cvv, v_new)
             a_new = jnp.where(cvm > 0, 0.0, a_new)
         if state is not None:
-            state = jax.vmap(elem_accumulate, in_axes=(0, 0, 0))(
-                u_new[conn], dNdX, state
-            )
+            if use_soa:
+                F_new = I_soa + grad_interp(gather_t(u_new))
+                state = mat.accumulate_soa(F_new, state, dt)
+            else:
+                state = jax.vmap(elem_accumulate, in_axes=(0, 0, 0))(
+                    u_new[conn], dNdX, state
+                )
+                if prob.state_soa:
+                    state = soa.state_to_soa(state)
         # contact observability at the converged alpha level (the
         # reference records from its last residual assembly,
         # mortar_contact.cpp:469-488)
@@ -1072,6 +1392,15 @@ def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
     rep = NamedSharding(mesh, P())
     put_e = lambda a: jax.device_put(a, e_shard)
     put_r = lambda a: jax.device_put(a, rep)
+
+    def put_e_state(a):
+        # SoA state leaves are (*tensor_dims, n_el, n_q): the element
+        # axis sits at ndim-2.  Per-quad layout leaves have it at 0.
+        if prob.state_soa:
+            spec = P(*([None] * (a.ndim - 2)), "e")
+        else:
+            spec = P("e")
+        return jax.device_put(a, NamedSharding(mesh, spec))
     contact = [
         {
             "conn": put_e(cd["conn"]),
@@ -1100,7 +1429,7 @@ def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
         rhs=put_r(prob.rhs),
         free=put_r(prob.free),
         facs=prob.facs,
-        state0=jax.tree.map(put_e, prob.state0)
+        state0=jax.tree.map(put_e_state, prob.state0)
         if prob.state0 is not None
         else None,
         visc_blocks=put_e(prob.visc_blocks)
@@ -1114,6 +1443,7 @@ def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
         else None,
         contact=contact,
         contact_static=prob.contact_static,
+        state_soa=prob.state_soa,
     )
 
 
@@ -1145,6 +1475,8 @@ def make_forward(prob: Problem, dt: float):
 
     def impl(aa, xa, va, state, d):
         conn = d["conn"]
+        if state is not None and prob.state_soa:
+            state = soa.state_from_soa(state)
         res_el = batched_res(
             (xa + fac0 * aa)[conn], d["dNdX"], d["wdet"], state
         )

@@ -34,6 +34,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the 30k+-element step jaxprs take minutes to
+# compile cold; repeat bench runs on the same machine skip that entirely
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def _jc_material():
     import mimi_tpu as mimi
@@ -54,7 +63,7 @@ def _jc_material():
     return mat
 
 
-def _build(subdiv):
+def _build(subdiv, spans=None):
     from mimi_tpu.parallel import sharding as sh
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -67,6 +76,7 @@ def _build(subdiv):
         body_force={1: -3.0},
         rho_inf=0.5,
         dtype=jnp.float32,
+        refine_spans=spans,
     )
     return prob
 

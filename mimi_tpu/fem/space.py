@@ -268,6 +268,86 @@ class BoundaryTables:
     # relative to the +tangent-axis parameterization used by the tables
 
 
+def patch_domain_tables(
+    patch, weights_grid, x_loc, quadrature_order: int = -1
+) -> DomainTables:
+    """Domain quadrature tables for one patch.  `x_loc` holds the patch's
+    control points indexed by the patch-local lexicographic dof id (the
+    returned conn is patch-local; multi-patch callers remap it)."""
+    p = patch
+    tabs = []
+    for k in range(p.para_dim):
+        order = (
+            quadrature_order
+            if quadrature_order >= 0
+            else 2 * p.degrees[k] + 3
+        )
+        n_g = order // 2 + 1
+        tabs.append(_dim_tables(p.knot_vectors[k], p.degrees[k], n_g))
+    conn, N, dN_du, wq = _tensor_basis(tabs, weights_grid)
+    # geometry jacobian dX/du and physical derivatives — native pass
+    # when available (single numpy einsums are minutes at 32k+ elems)
+    from . import native as _native
+
+    n_el, n_q, n_dof = N.shape
+    nat = _native.geometry_tables_native(conn, dN_du, wq, x_loc)
+    if nat is not None:
+        dN_dX, w_detJ = nat
+    else:
+        x = x_loc[conn]  # (n_el, n_dof, dim)
+        J = np.einsum(
+            "end,eqnk->eqdk", x, dN_du, optimize=True
+        )  # dX_d/du_k
+        detJ = np.linalg.det(J)
+        Jinv = np.linalg.inv(J)  # du/dX
+        dN_dX = np.einsum(
+            "eqnk,eqkd->eqnd", dN_du, Jinv, optimize=True
+        )
+        w_detJ = wq * detJ
+    return DomainTables(
+        conn=conn, N=N, dN_dX=dN_dX, w_detJ=w_detJ, n_q=n_q
+    )
+
+
+def patch_side_tables(
+    patch, weights_grid, dof_grid, x_glob, axis, end, quadrature_order=-1
+):
+    """Boundary tables for one side (axis, end) of one patch.
+
+    dof_grid: array shaped like the control grid holding the caller's
+    global scalar dof ids (lexicographic identity for single patch).
+    Returns (conn_g, N, dN_dxi, wq, detJ_ref).
+    """
+    p = patch
+    d = p.para_dim
+    nc = p.n_ctrl()
+    t_dims = [k for k in range(d) if k != axis]
+    tabs = []
+    for k in t_dims:
+        order = (
+            quadrature_order
+            if quadrature_order >= 0
+            else 2 * p.degrees[k] + 3
+        )
+        n_g = order // 2 + 1
+        tabs.append(_dim_tables(p.knot_vectors[k], p.degrees[k], n_g))
+    sel = [slice(None)] * d
+    sel[axis] = 0 if end == 0 else nc[axis] - 1
+    w_face = weights_grid[tuple(sel)]
+    dof_face = dof_grid[tuple(sel)]
+    connf, Nf, dNf, wqf = _tensor_basis(tabs, w_face)
+    face_flat = dof_face.reshape(-1, order="F")
+    conn_g = face_flat[connf]
+    xf = x_glob[conn_g]  # (n_bel, n_dof_b, dim)
+    Jf = np.einsum("end,eqnk->eqdk", xf, dNf)  # (.., dim, d-1)
+    if d == 2:
+        detJ = np.linalg.norm(Jf[..., 0], axis=-1)
+    else:
+        cr = np.cross(Jf[..., 0], Jf[..., 1])
+        detJ = np.linalg.norm(cr, axis=-1)
+    return conn_g, Nf, dNf, wqf, detJ
+
+
 class FESpace:
     """Vector-valued NURBS FE space (byVDIM) over a single patch."""
 
@@ -296,38 +376,8 @@ class FESpace:
 
     # ---------- domain tables ----------
     def domain_tables(self, quadrature_order: int = -1) -> DomainTables:
-        p = self.patch
-        tabs = []
-        for k in range(self.para_dim):
-            order = (
-                quadrature_order
-                if quadrature_order >= 0
-                else 2 * p.degrees[k] + 3
-            )
-            n_g = order // 2 + 1
-            tabs.append(_dim_tables(p.knot_vectors[k], p.degrees[k], n_g))
-        conn, N, dN_du, wq = _tensor_basis(tabs, self.weights_grid)
-        # geometry jacobian dX/du and physical derivatives — native pass
-        # when available (single numpy einsums are minutes at 32k+ elems)
-        from . import native as _native
-
-        n_el, n_q, n_dof = N.shape
-        nat = _native.geometry_tables_native(conn, dN_du, wq, self.x_ref)
-        if nat is not None:
-            dN_dX, w_detJ = nat
-        else:
-            x = self.x_ref[conn]  # (n_el, n_dof, dim)
-            J = np.einsum(
-                "end,eqnk->eqdk", x, dN_du, optimize=True
-            )  # dX_d/du_k
-            detJ = np.linalg.det(J)
-            Jinv = np.linalg.inv(J)  # du/dX
-            dN_dX = np.einsum(
-                "eqnk,eqkd->eqnd", dN_du, Jinv, optimize=True
-            )
-            w_detJ = wq * detJ
-        return DomainTables(
-            conn=conn, N=N, dN_dX=dN_dX, w_detJ=w_detJ, n_q=n_q
+        return patch_domain_tables(
+            self.patch, self.weights_grid, self.x_ref, quadrature_order
         )
 
     # ---------- boundary tables ----------
@@ -335,45 +385,23 @@ class FESpace:
         """All boundary (side) elements, grouped side-by-side in the order
         the sides appear in the mesh file; within a side, elements are
         lexicographic over the tangent span grid."""
-        p = self.patch
         d = self.para_dim
+        nc = self.n_ctrl
+        dof_grid = np.arange(self.n_dof).reshape(*nc[::-1]).transpose(
+            *range(d - 1, -1, -1)
+        )
         conn_l, N_l, dN_l, wq_l, detJ_l, attr_l = [], [], [], [], [], []
         sign_l = []
         for attr, axis, end, n_sign in self.sides:
-            t_dims = [k for k in range(d) if k != axis]
-            tabs = []
-            for k in t_dims:
-                order = (
-                    quadrature_order
-                    if quadrature_order >= 0
-                    else 2 * p.degrees[k] + 3
-                )
-                n_g = order // 2 + 1
-                tabs.append(
-                    _dim_tables(p.knot_vectors[k], p.degrees[k], n_g)
-                )
-            # face control net (weights + global dof index grid)
-            nc = self.n_ctrl
-            sel = [slice(None)] * d
-            sel[axis] = 0 if end == 0 else nc[axis] - 1
-            w_face = self.weights_grid[tuple(sel)]
-            # global dof of grid point
-            dof_grid = np.arange(self.n_dof).reshape(
-                *nc[::-1]
-            ).transpose(*range(d - 1, -1, -1))
-            dof_face = dof_grid[tuple(sel)]
-            connf, Nf, dNf, wqf = _tensor_basis(tabs, w_face)
-            # map face-local dof index -> global via dof_face flat (lex)
-            face_flat = dof_face.reshape(-1, order="F")
-            conn_g = face_flat[connf]
-            # reference surface jacobian
-            xf = self.x_ref[conn_g]  # (n_bel, n_dof_b, dim)
-            Jf = np.einsum("end,eqnk->eqdk", xf, dNf)  # (.., dim, d-1)
-            if d == 2:
-                detJ = np.linalg.norm(Jf[..., 0], axis=-1)
-            else:
-                cr = np.cross(Jf[..., 0], Jf[..., 1])
-                detJ = np.linalg.norm(cr, axis=-1)
+            conn_g, Nf, dNf, wqf, detJ = patch_side_tables(
+                self.patch,
+                self.weights_grid,
+                dof_grid,
+                self.x_ref,
+                axis,
+                end,
+                quadrature_order,
+            )
             conn_l.append(conn_g)
             N_l.append(Nf)
             dN_l.append(dNf)

@@ -122,6 +122,34 @@ class NurbsPatch:
             )
             self._apply_axis_operator(axis, T, new_kv)
 
+    def refine_to(self, n_spans: int | list[int]) -> None:
+        """Insert uniformly spaced knots until each axis has `n_spans`
+        nonempty spans (per-axis list or one count for all axes).
+
+        Additive over the reference's power-of-two `Subdivide`
+        (py_solid.cpp:168-183): arbitrary span counts let benchmark
+        meshes hit exact element budgets (e.g. 48^3 ~ 1.1e5 elements)."""
+        targets = (
+            list(n_spans)
+            if isinstance(n_spans, (list, tuple))
+            else [int(n_spans)] * self.para_dim
+        )
+        for axis in range(self.para_dim):
+            t = targets[axis]
+            kv = self.knot_vectors[axis]
+            lo, hi = kv[0], kv[-1]
+            want = lo + (hi - lo) * np.arange(1, t) / t
+            have = kn.unique_spans(kv, self.degrees[axis])
+            new = np.array(
+                [u for u in want if not np.isclose(have, u).any()]
+            )
+            if new.size == 0:
+                continue
+            T, new_kv = kn.insertion_operator(
+                kv, self.degrees[axis], new
+            )
+            self._apply_axis_operator(axis, T, new_kv)
+
     # ---------------- evaluation (setup-time, numpy) ----------------
     def evaluate(self, params: np.ndarray) -> np.ndarray:
         """Evaluate patch at (n_pts, para_dim) parameters (numpy, slow path)."""

@@ -92,6 +92,8 @@ class Problem:
     # tensor-product fast-diagonalization preconditioner data
     # (solvers/fdm.py), or None when the patch/BCs don't factorize
     fdm: dict | None = None
+    # reference control-point coordinates (n_dof, dim), numpy
+    x_ref: np.ndarray | None = None
 
     def tree_arrays(self):
         return [
@@ -119,6 +121,7 @@ def build_problem(
     constant_velocity: dict | None = None,  # {bid: {dim: value}}
     contact: list | None = None,  # [(bid, scene), ...]
     contact_quadrature_order: int = -1,
+    refine_spans: int | list | None = None,  # exact span count per axis
 ) -> Problem:
     """Assemble the compiled-core problem description.
 
@@ -129,12 +132,24 @@ def build_problem(
     boundaries are interactive-session-only; request them there.
     """
     mesh = read_mfem_nurbs_mesh(mesh_path)
-    patch, topo, _ = build_patch_from_mesh(mesh)
-    if elevate > 0:
-        patch.elevate_degrees(elevate)
-    for _ in range(subdivide):
-        patch.uniform_refine()
-    fes = FESpace(patch, topo)
+    if len(mesh.elements) > 1:
+        from ..fem.multipatch import MultiPatchFESpace
+
+        fes = MultiPatchFESpace(
+            mesh,
+            elevate=elevate,
+            subdivide=subdivide,
+            refine_spans=refine_spans,
+        )
+    else:
+        patch, topo, _ = build_patch_from_mesh(mesh)
+        if elevate > 0:
+            patch.elevate_degrees(elevate)
+        for _ in range(subdivide):
+            patch.uniform_refine()
+        if refine_spans is not None:
+            patch.refine_to(refine_spans)
+        fes = FESpace(patch, topo)
     dim = fes.dim
     n_dof = fes.n_dof
     material.setup(dim)
@@ -327,6 +342,7 @@ def build_problem(
         contact_static=contact_static,
         state_soa=state_soa,
         fdm=fdm,
+        x_ref=np.asarray(fes.x_ref),
     )
 
 
@@ -1444,6 +1460,8 @@ def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
         contact=contact,
         contact_static=prob.contact_static,
         state_soa=prob.state_soa,
+        fdm=prob.fdm,
+        x_ref=prob.x_ref,
     )
 
 

@@ -35,15 +35,44 @@ def eye(d, like, scale=1.0):
     """Identity broadcastable against `like`'s batch dims.
 
     Returns shape (d, d) + (1,)*batch_ndim so arithmetic broadcasts
-    without materializing a full (d, d, *batch) of constants.
+    without materializing a full (d, d, *batch) of constants.  Built
+    from iota comparisons rather than jnp.eye().reshape(): the reshape
+    that appends minor singleton dims is an unsupported shape cast in
+    Mosaic, and this module's code runs inside Pallas kernels
+    (ops/sweeps.py) as well as under XLA.
     """
-    batch_ndim = like.ndim - (2 if like.ndim >= 2 else 0)
-    I = jnp.eye(d, dtype=like.dtype) * scale
-    return I.reshape((d, d) + (1,) * max(like.ndim - 2, 0))
+    # stacked full-batch planes: Mosaic crashes on degenerate
+    # (d, d, 1, 1) vectors AND on iota/where-built constants whose
+    # zero slices fold into rank-degenerate vectors under AD; stacked
+    # jnp.full planes survive, and under XLA they fuse away
+    plane = tuple(like.shape[2:])
+    return stack2(
+        [
+            [
+                jnp.full(plane, scale if i == j else 0.0, like.dtype)
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+    )
 
 
 def transpose(A):
     return jnp.swapaxes(A, 0, 1)
+
+
+def add_diag(A, c):
+    """A + c*I without materializing an identity tensor: Mosaic's layout
+    pass crashes on constant-zero planes (however built) once AD
+    multiplies tangents into them, so diagonal shifts are expressed as
+    Python-level branches instead of eye() arithmetic."""
+    d = A.shape[0]
+    return stack2(
+        [
+            [A[i, j] + c if i == j else A[i, j] for j in range(d)]
+            for i in range(d)
+        ]
+    )
 
 
 def trace(A):
@@ -55,7 +84,16 @@ def trace(A):
 
 
 def sym(A):
-    return 0.5 * (A + transpose(A))
+    # slice-wise rather than 0.5*(A + swapaxes(A)): the leading-dim
+    # transpose composed with downstream slicing crashes Mosaic's
+    # layout inference under AD
+    d = A.shape[0]
+    return stack2(
+        [
+            [0.5 * (A[i, j] + A[j, i]) for j in range(d)]
+            for i in range(d)
+        ]
+    )
 
 
 def matmul(A, B):
@@ -195,19 +233,22 @@ def from_soa(A):
 
 
 def state_to_soa(state):
-    """Move every >=3-ndim-over-batch tensor leaf of a material-state
-    pytree from trailing (d, d) to leading (d, d).  Leaves whose ndim
-    equals the batch ndim (scalars per qp) pass through.
+    """Per-quad layout -> SoA layout for a material-state pytree over an
+    (n_el, n_q) batch: tensor leaves (e, q, d, d) -> (d, d, q, e), scalar
+    leaves (e, q) -> (q, e).
 
-    Convention: batch ndim is inferred from the 'eqps' leaf, which every
-    stateful material carries.
+    The (q, e) batch order puts elements on TPU lanes (n_el is large and
+    128-divisible in practice) and quadrature points on sublanes (n_q is
+    a multiple of 8), so SoA planes tile with zero padding and
+    per-element scalars broadcast along sublanes — the layout both the
+    XLA SoA engine and the Pallas sweep kernels consume.
     """
     import jax
 
-    batch_ndim = state["eqps"].ndim
-
     def conv(a):
-        return to_soa(a) if a.ndim == batch_ndim + 2 else a
+        if a.ndim == 4:
+            return jnp.transpose(a, (2, 3, 1, 0))
+        return jnp.swapaxes(a, 0, 1)
 
     return jax.tree.map(conv, state)
 
@@ -215,9 +256,9 @@ def state_to_soa(state):
 def state_from_soa(state):
     import jax
 
-    batch_ndim = state["eqps"].ndim
-
     def conv(a):
-        return from_soa(a) if a.ndim == batch_ndim + 2 else a
+        if a.ndim == 4:
+            return jnp.transpose(a, (3, 2, 0, 1))
+        return jnp.swapaxes(a, 0, 1)
 
     return jax.tree.map(conv, state)

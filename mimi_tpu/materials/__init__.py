@@ -35,6 +35,24 @@ from ..fem import soa
 
 _K_TOL = 1.0e-10
 
+# Pallas-kernel tracing mode: Mosaic cannot legalize lax.while_loop, so
+# inside fused sweep kernels (ops/sweeps.py) the radial-return scalar
+# solve switches to a fixed-trip fori variant, gated behind an
+# any-active lax.cond so fully elastic element blocks skip it.
+import contextlib
+
+_KERNEL_SOLVE = {"on": False}
+
+
+@contextlib.contextmanager
+def kernel_solver_mode():
+    old = _KERNEL_SOLVE["on"]
+    _KERNEL_SOLVE["on"] = True
+    try:
+        yield
+    finally:
+        _KERNEL_SOLVE["on"] = old
+
 
 class Material:
     """Base: parameter store + elastic-constant conversions
@@ -119,10 +137,8 @@ class StVenantKirchhoff(Material):
         return F @ S
 
     def pk1_soa(self, F, state, dt):
-        d = F.shape[0]
-        I = soa.eye(d, F)
-        E = 0.5 * (soa.matmul_tn(F, F) - I)
-        S = self.lambda_ * soa.trace(E) * I + 2.0 * self.mu * E
+        E = 0.5 * soa.add_diag(soa.matmul_tn(F, F), -1.0)
+        S = soa.add_diag(2.0 * self.mu * E, self.lambda_ * soa.trace(E))
         return soa.matmul(F, S)
 
 
@@ -139,12 +155,12 @@ class CompressibleOgdenNeoHookean(Material):
         return _pk1_from_cauchy(sigma, F)
 
     def pk1_soa(self, F, state, dt):
-        d = F.shape[0]
-        I = soa.eye(d, F)
         J = soa.det(F)
         B = soa.matmul_nt(F, F)
         mu_over_J = self.mu / J
-        sigma = mu_over_J * B + (-mu_over_J + self.lambda_ * (J - 1.0)) * I
+        sigma = soa.add_diag(
+            mu_over_J * B, -mu_over_J + self.lambda_ * (J - 1.0)
+        )
         return _pk1_from_cauchy_soa(sigma, F)
 
 
@@ -204,8 +220,7 @@ class J2Linear(Material):
 
     def _common_soa(self, F, state):
         G = self.G
-        d = F.shape[0]
-        eps = soa.sym(F) - soa.eye(d, F) - state["plastic_strain"]
+        eps = soa.add_diag(soa.sym(F) - state["plastic_strain"], -1.0)
         p = self.K * soa.trace(eps)
         s = soa.dev(eps, 2.0 * G)
         eta = s - state["beta"]
@@ -218,10 +233,9 @@ class J2Linear(Material):
         return p, s, eta_hat, dps
 
     def pk1_soa(self, F, state, dt):
-        d = F.shape[0]
         p, s, eta_hat, dps = self._common_soa(F, state)
         s = s - jnp.sqrt(6.0) * self.G * dps * eta_hat
-        sigma = s + p * soa.eye(d, F)
+        sigma = soa.add_diag(s, p)
         return _pk1_from_cauchy_soa(sigma, F)
 
     def accumulate_soa(self, F, state, dt):
@@ -268,6 +282,12 @@ class _J2ThermoBase(Material):
 
         self._residual = residual
         self._solver = make_scalar_solver(residual, _K_TOL, None, 100)
+        # fixed-trip variant for Pallas kernels (while_loop does not
+        # legalize in Mosaic); 40 bisection-safeguarded trips shrink the
+        # bracket past f32 resolution
+        self._solver_fori = make_scalar_solver(
+            residual, _K_TOL, None, 40, loop="fori"
+        )
 
     def _solve_delta_eqps(self, q, eqps_old, thermo, dt, slope):
         """Masked radial-return solve: active where residual(0) > tol.
@@ -299,9 +319,23 @@ class _J2ThermoBase(Material):
         theta_ng = tuple(
             sg(x) for x in (q_safe, eqps_old, thermo, dt, slope)
         )
-        d_star = sg(
-            self._solver(0.0, 0.0, sg(ub), self._tolerance, theta_ng)
-        )
+        if _KERNEL_SOLVE["on"]:
+            # fixed-trip solve behind an any-active cond: fully elastic
+            # blocks skip the 40-trip loop entirely
+            ub_ng = sg(ub)
+            d_star = sg(
+                jax.lax.cond(
+                    jnp.any(active),
+                    lambda: self._solver_fori(
+                        0.0, 0.0, ub_ng, self._tolerance, theta_ng
+                    ),
+                    lambda: jnp.zeros_like(ub_ng),
+                )
+            )
+        else:
+            d_star = sg(
+                self._solver(0.0, 0.0, sg(ub), self._tolerance, theta_ng)
+            )
         # differentiable re-injection (theta with gradients)
         fval = self._residual(d_star, q_safe, eqps_old, thermo, dt, slope)
         # elementwise d(residual)/d(delta) via jvp (batch-polymorphic;
@@ -371,15 +405,15 @@ class J2(_J2ThermoBase):
     has_soa = True
 
     def _trial_soa(self, F, state):
-        d = F.shape[0]
-        eps = soa.sym(F) - soa.eye(d, F) - state["plastic_strain"]
+        eps = soa.add_diag(
+            soa.sym(F) - state["plastic_strain"], -1.0
+        )
         p = self.K * soa.trace(eps)
         s = soa.dev(eps, 2.0 * self.G)
         q = jnp.sqrt(1.5) * soa.fro_norm(s)
         return p, s, q
 
     def pk1_soa(self, F, state, dt):
-        d = F.shape[0]
         p, s, q = self._trial_soa(F, state)
         thermo = self.hardening.thermo_contribution(state["temperature"])
         delta, active = self._solve_delta_eqps(
@@ -387,7 +421,7 @@ class J2(_J2ThermoBase):
         )
         N_p = (1.5 / jnp.where(q > 0.0, q, 1.0)) * s
         s = s - 2.0 * self.G * delta * N_p
-        sigma = s + p * soa.eye(d, F)
+        sigma = soa.add_diag(s, p)
         return _pk1_from_cauchy_soa(sigma, F)
 
     def accumulate_soa(self, F, state, dt):
@@ -492,10 +526,19 @@ class J2Simo(_J2ThermoBase):
         s = soa.dev(be, self.G)
         s_norm = soa.fro_norm(s)
         near_zero = s_norm < jnp.finfo(s.dtype).eps
-        N_p = jnp.where(
-            near_zero,
-            jnp.sqrt(0.5) * jnp.broadcast_to(soa.eye(d, F), s.shape),
-            jnp.sqrt(1.5) / jnp.where(near_zero, 1.0, s_norm) * s,
+        s_hat = jnp.sqrt(1.5) / jnp.where(near_zero, 1.0, s_norm) * s
+        N_p = soa.stack2(
+            [
+                [
+                    jnp.where(
+                        near_zero,
+                        jnp.sqrt(0.5) if i == j else s_hat[i, j] * 0.0,
+                        s_hat[i, j],
+                    )
+                    for j in range(d)
+                ]
+                for i in range(d)
+            ]
         )
         q = soa.ddot(N_p, s)  # s_effective
         return be, s, N_p, q
@@ -512,10 +555,9 @@ class J2Simo(_J2ThermoBase):
         return be, s, q, delta, active
 
     def pk1_soa(self, F, state, dt):
-        d = F.shape[0]
         be, s, q, delta, active = self._return_map_soa(F, state, dt)
         J = soa.det(F)
-        tau = s + self.K * (J * J - 1.0) * 0.5 * soa.eye(d, F)
+        tau = soa.add_diag(s, self.K * (J * J - 1.0) * 0.5)
         return soa.matmul_nt(tau, soa.inv(F))
 
     def accumulate_soa(self, F, state, dt):

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 
-def make_scalar_solver(residual_fn, xtol, rtol_factor, max_iter=100):
+def make_scalar_solver(residual_fn, xtol, rtol_factor, max_iter=100,
+                       loop="while"):
     """residual_fn(x, *theta) -> residual value (differentiable).
 
     rtol is per-call: rtol = rtol_factor placeholder — callers pass rtol as
@@ -32,6 +33,12 @@ def make_scalar_solver(residual_fn, xtol, rtol_factor, max_iter=100):
     batches (the SoA hot path calls it on whole (n_el, n_q) planes at
     once instead of vmapping per quad point); the while_loop then runs
     until every lane converges, freezing lanes that already have.
+
+    loop="fori" runs a fixed max_iter-trip lax.fori_loop with the same
+    per-lane freezing instead of the early-exit while_loop — Mosaic
+    (Pallas TPU) cannot legalize while_loop, so the in-kernel radial
+    return uses this variant (safeguarded bisection halves the bracket
+    2^-max_iter, so ~40 trips reach beyond f32 resolution).
     """
 
     def val_grad(x, *theta):
@@ -113,7 +120,18 @@ def make_scalar_solver(residual_fn, xtol, rtol_factor, max_iter=100):
             jnp.array(0),
             conv0,
         )
-        x_sol = jax.lax.while_loop(cond, body, state)[0]
+        if loop == "fori":
+            # Mosaic cannot legalize i1 (bool) vector loop carries:
+            # round-trip the convergence mask through the value dtype
+            def body_f(_, s):
+                *rest, conv_f = s
+                out = body((*rest, conv_f > 0.5))
+                return (*out[:-1], out[-1].astype(s[0].dtype))
+
+            state_f = (*state[:-1], conv0.astype(state[0].dtype))
+            x_sol = jax.lax.fori_loop(0, max_iter, body_f, state_f)[0]
+        else:
+            x_sol = jax.lax.while_loop(cond, body, state)[0]
 
         # corner cases: a bracket endpoint is already the root
         x_sol = jnp.where(jnp.abs(f_hi) < xtol, hi, x_sol)

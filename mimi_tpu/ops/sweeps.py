@@ -1,0 +1,373 @@
+"""Generic fused quadrature-sweep Pallas kernels (any SoA material).
+
+The compiled core's three hot sweeps — operator residual, residual +
+element tangent, and the GMRES matvec — as single VMEM-resident kernels
+per block of elements.  The XLA SoA engine (parallel/sharding.py) lowers
+the same math to ~1.5k unrolled VPU ops whose intermediates spill to HBM
+between fusions (measured ~15x off bandwidth bound); here each block's
+entire computation stays in VMEM and the tables stream exactly once.
+
+Layout contract (shared with the XLA engine, fem/soa.py): quadrature
+batch is (n_q, n_el) — elements on lanes, quads on sublanes — so blocks
+tile with zero padding and per-element dof values broadcast along
+sublanes.  Tables: dN (nd, dim, n_q, n_el), N (nd, n_q, n_el),
+w_detJ (n_q, n_el); element dof values (dim, nd, n_el); material state
+as SoA pytrees with (n_q, n_el)-trailing leaves.
+
+Because the materials' `pk1_soa` fast paths are pure elementwise jnp
+code (including the radial-return scalar solve, a lax.while_loop with an
+implicit-function-theorem JVP), the kernels call them directly — one
+generic kernel set serves every SoA material, J2 plasticity included.
+The element tangent uses jax.linearize with 9 one-hot seeds inside the
+kernel, exactly like the XLA engine.
+
+Gather (u[conn]) and scatter-add stay outside in XLA: they are
+dof-indexed, cheap, and XLA's scatter is already efficient.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pick_block_e(n_el: int, limit: int = 256) -> int:
+    """Element-block size for the sweep kernels.
+
+    Mosaic requires the minor (lane) block dim to be a multiple of 128
+    or equal to the full array extent, so: the whole batch when n_el <=
+    limit, else the largest 128-multiple divisor <= limit, else the full
+    batch (single block)."""
+    if n_el <= limit:
+        return n_el
+    b = (limit // 128) * 128
+    while b >= 128:
+        if n_el % b == 0:
+            return b
+        b -= 128
+    return n_el
+
+
+def _stack2(rows):
+    return jnp.stack([jnp.stack(r, 0) for r in rows], 0)
+
+
+def _grad_interp(dim, nd, w_ref, dn_ref):
+    """dF[g,f](q, be) = sum_n w[g,n](be) dN[n,f](q, be).
+
+    The (be,)-lane dof row broadcasts against the (n_q, be) plane via
+    trailing-dim rules (no explicit (1, be) reshape — Mosaic chokes on
+    degenerate minor dims)."""
+    return _stack2(
+        [
+            [
+                sum(
+                    dn_ref[n, f, :, :] * w_ref[g, n, :]
+                    for n in range(nd)
+                )
+                for f in range(dim)
+            ]
+            for g in range(dim)
+        ]
+    )
+
+
+def _value_interp(dim, nd, w_ref, n_ref):
+    return jnp.stack(
+        [
+            sum(
+                n_ref[n, :, :] * w_ref[c, n, :]
+                for n in range(nd)
+            )
+            for c in range(dim)
+        ]
+    )
+
+
+def _scatter_store(dim, nd, w, dn_ref, n_ref, P, vec, out_ref):
+    """out[c,n](be) = sum_q w (sum_d dN[n,d] P[c,d] + N[n] vec[c])."""
+    for c in range(dim):
+        for n in range(nd):
+            integ = sum(
+                dn_ref[n, dd, :, :] * P[c, dd] for dd in range(dim)
+            )
+            if vec is not None:
+                integ = integ + n_ref[n, :, :] * vec[c]
+            out_ref[c, n, :] = jnp.sum(w * integ, axis=0)
+
+
+
+
+
+def _common_specs(dim, nd, n_q, block_e, has_visc, state_leaves):
+    """BlockSpecs for (u_el, a_el[, v_el], dN, N, wdet, *state)."""
+    el3 = pl.BlockSpec(
+        (dim, nd, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    dn = pl.BlockSpec(
+        (nd, dim, n_q, block_e),
+        lambda i: (0, 0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    nn = pl.BlockSpec(
+        (nd, n_q, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    wq = pl.BlockSpec(
+        (n_q, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    specs = [el3, el3] + ([el3] if has_visc else []) + [dn, nn, wq]
+    for leaf in state_leaves:
+        if leaf.ndim == 4:
+            specs.append(
+                pl.BlockSpec(
+                    (leaf.shape[0], leaf.shape[1], n_q, block_e),
+                    lambda i: (0, 0, 0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        else:
+            specs.append(wq)
+    return specs, el3
+
+
+def make_residual_sweep(
+    mat, dt, dim, nd, n_q, n_el, rho, mu_v, has_visc, state,
+    block_e=None, interpret=False,
+):
+    """Returns residual(u_el, a_el, v_el, state) -> y_el, all in the
+    (dim, nd, n_el) element layout; state may be None.
+
+    y_el[c, n, e] = sum_q w (dN[n,d] (P(F)[c,d] + mu_v dV[c,d])
+                             + N[n] rho aq[c])
+    """
+    import jax.tree_util as jtu
+
+    block_e = block_e or pick_block_e(n_el)
+    state_leaves, treedef = jtu.tree_flatten(state)
+    n_state = len(state_leaves)
+
+    def kernel(*refs):
+        u_ref, a_ref = refs[0], refs[1]
+        idx = 2
+        v_ref = None
+        if has_visc:
+            v_ref = refs[idx]
+            idx += 1
+        dn_ref, n_ref, w_ref = refs[idx : idx + 3]
+        idx += 3
+        state_refs = refs[idx : idx + n_state]
+        out_ref = refs[-1]
+
+        from ..fem import soa as _soa
+
+        # F = I + grad u via a diagonal shift: identity tensors (zero
+        # constant planes) crash Mosaic's layout pass under AD
+        F = _soa.add_diag(_grad_interp(dim, nd, u_ref, dn_ref), 1.0)
+        st = jtu.tree_unflatten(treedef, [r[...] for r in state_refs])
+        from ..materials import kernel_solver_mode
+
+        with kernel_solver_mode():
+            P = mat.pk1_soa(F, st, dt)
+        if has_visc:
+            P = P + mu_v * _grad_interp(dim, nd, v_ref, dn_ref)
+        aq = _value_interp(dim, nd, a_ref, n_ref)
+        vec = [rho * aq[c] for c in range(dim)]
+        _scatter_store(dim, nd, w_ref[:, :], dn_ref, n_ref, P, vec, out_ref)
+
+    specs, el3 = _common_specs(
+        dim, nd, n_q, block_e, has_visc, state_leaves
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_el // block_e,),
+        in_specs=specs,
+        out_specs=el3,
+        out_shape=jax.ShapeDtypeStruct((dim, nd, n_el), jnp.float32),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def residual_full(u_el, a_el, v_el, state_, dn, nn, wq):
+        args = [u_el, a_el] + ([v_el] if has_visc else [])
+        return call(*args, dn, nn, wq, *jtu.tree_leaves(state_))
+
+    return residual_full
+
+
+def make_assemble_sweep(
+    mat, dt, dim, nd, n_q, n_el, rho, mu_v, has_visc, state,
+    block_e=None, interpret=False,
+):
+    """Residual + per-qp consistent tangent C[c*dim+d, g*dim+f](q, e) via
+    jax.linearize with one-hot seeds, fused in one pass."""
+    import jax.tree_util as jtu
+
+    block_e = block_e or pick_block_e(n_el)
+    d2 = dim * dim
+    state_leaves, treedef = jtu.tree_flatten(state)
+    n_state = len(state_leaves)
+
+    def kernel(*refs):
+        u_ref, a_ref = refs[0], refs[1]
+        idx = 2
+        v_ref = None
+        if has_visc:
+            v_ref = refs[idx]
+            idx += 1
+        dn_ref, n_ref, w_ref = refs[idx : idx + 3]
+        idx += 3
+        state_refs = refs[idx : idx + n_state]
+        out_ref, c_ref = refs[-2], refs[-1]
+
+        from ..fem import soa as _soa
+
+        F = _soa.add_diag(_grad_interp(dim, nd, u_ref, dn_ref), 1.0)
+        st = jtu.tree_unflatten(treedef, [r[...] for r in state_refs])
+        from ..materials import kernel_solver_mode
+
+        with kernel_solver_mode():
+            P, jvp_fn = jax.linearize(
+                lambda Ft: mat.pk1_soa(Ft, st, dt), F
+            )
+        # Mosaic-safe tangent columns.  One-hot seeds crash the layout
+        # pass (constant-zero slices fold into rank-degenerate zeros),
+        # and iota/where-built seeds crash it too; stacked jnp.full
+        # planes of {1, 2} survive.  So seed with (one-hot + ones) and
+        # subtract the all-ones direction: C:e_gf = jvp(e_gf+1) - jvp(1).
+        plane = F.shape[2:]
+        base = jvp_fn(jnp.ones_like(F))
+        for g in range(dim):
+            for f in range(dim):
+                seed = _stack2(
+                    [
+                        [
+                            jnp.full(
+                                plane,
+                                2.0 if (i, j) == (g, f) else 1.0,
+                                F.dtype,
+                            )
+                            for j in range(dim)
+                        ]
+                        for i in range(dim)
+                    ]
+                )
+                col = jvp_fn(seed)  # C:(e_gf + ones): (dim, dim, q, be)
+                for c in range(dim):
+                    for dd in range(dim):
+                        c_ref[c * dim + dd, g * dim + f, :, :] = (
+                            col[c, dd] - base[c, dd]
+                        )
+        P_eff = P
+        if has_visc:
+            P_eff = P + mu_v * _grad_interp(dim, nd, v_ref, dn_ref)
+        aq = _value_interp(dim, nd, a_ref, n_ref)
+        vec = [rho * aq[c] for c in range(dim)]
+        _scatter_store(
+            dim, nd, w_ref[:, :], dn_ref, n_ref, P_eff, vec, out_ref
+        )
+
+    specs, el3 = _common_specs(
+        dim, nd, n_q, block_e, has_visc, state_leaves
+    )
+    c_spec = pl.BlockSpec(
+        (d2, d2, n_q, block_e),
+        lambda i: (0, 0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_el // block_e,),
+        in_specs=specs,
+        out_specs=[el3, c_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((dim, nd, n_el), jnp.float32),
+            jax.ShapeDtypeStruct((d2, d2, n_q, n_el), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def assemble_full(u_el, a_el, v_el, state_, dn, nn, wq):
+        args = [u_el, a_el] + ([v_el] if has_visc else [])
+        return call(*args, dn, nn, wq, *jtu.tree_leaves(state_))
+
+    return assemble_full
+
+
+def make_matvec_sweep(
+    dim, nd, n_q, n_el, rho, fac0, fac1_mu_v, has_visc,
+    block_e=None, interpret=False,
+):
+    """J w element sweep given the stored tangent C:
+    y_el[c,n] = sum_q w (dN[n,d] (fac0 C:dF + fac1 mu_v dF)[c,d]
+                         + N[n] rho wq[c])."""
+    block_e = block_e or pick_block_e(n_el)
+    d2 = dim * dim
+
+    def kernel(w_el_ref, dn_ref, n_ref, wq_ref, c_ref, out_ref):
+        dF = _grad_interp(dim, nd, w_el_ref, dn_ref)
+        dP = [[None] * dim for _ in range(dim)]
+        for c in range(dim):
+            for dd in range(dim):
+                acc = c_ref[c * dim + dd, 0, :, :] * dF[0, 0]
+                for k in range(1, d2):
+                    acc = acc + c_ref[c * dim + dd, k, :, :] * dF[
+                        k // dim, k % dim
+                    ]
+                dP[c][dd] = fac0 * acc
+                if has_visc:
+                    dP[c][dd] = dP[c][dd] + fac1_mu_v * dF[c, dd]
+        vq = _value_interp(dim, nd, w_el_ref, n_ref)
+        vec = [rho * vq[c] for c in range(dim)]
+        w = wq_ref[:, :]
+        for c in range(dim):
+            for n in range(nd):
+                integ = sum(
+                    dn_ref[n, dd, :, :] * dP[c][dd] for dd in range(dim)
+                )
+                integ = integ + n_ref[n, :, :] * vec[c]
+                out_ref[c, n, :] = jnp.sum(w * integ, axis=0)
+
+    el3 = pl.BlockSpec(
+        (dim, nd, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    dn = pl.BlockSpec(
+        (nd, dim, n_q, block_e),
+        lambda i: (0, 0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    nn = pl.BlockSpec(
+        (nd, n_q, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    wq = pl.BlockSpec(
+        (n_q, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    c_spec = pl.BlockSpec(
+        (d2, d2, n_q, block_e),
+        lambda i: (0, 0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_el // block_e,),
+        in_specs=[el3, dn, nn, wq, c_spec],
+        out_specs=el3,
+        out_shape=jax.ShapeDtypeStruct((dim, nd, n_el), jnp.float32),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def matvec(w_el, dn, nn_, wq_, C):
+        return call(w_el, dn, nn_, wq_, C)
+
+    return matvec

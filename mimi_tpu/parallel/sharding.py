@@ -529,18 +529,23 @@ def make_step(
     mat_has_soa = getattr(mat, "has_soa", False) or not mat.has_state
     if residual_impl == "auto":
         residual_impl = "soa" if (mat_has_soa and iterative) else "xla"
-    use_soa = residual_impl == "soa"
+    use_pallas = residual_impl == "pallas"
+    use_soa = residual_impl in ("soa", "pallas")
     if use_soa:
         if not iterative:
             raise ValueError(
-                "residual_impl='soa' requires an iterative solver "
-                "(the dense path assembles the full matrix batch-first)"
+                f"residual_impl={residual_impl!r} requires an iterative "
+                "solver (the dense path assembles the matrix batch-first)"
             )
         if not mat_has_soa:
             raise ValueError(
                 f"{mat.name()} has no SoA fast path; use "
                 "residual_impl='xla'"
             )
+    if use_pallas and prob.rhs.dtype != jnp.float32:
+        raise ValueError(
+            "residual_impl='pallas' requires a float32 problem"
+        )
     if lin_rel_tol is None:
         lin_rel_tol = 1e-8 if prob.rhs.dtype == jnp.float64 else 3e-6
     if lin_abs_tol is None:
@@ -566,32 +571,43 @@ def make_step(
     elif precond != "bj":
         raise ValueError(f"unknown precond {precond!r}")
 
-    use_pallas = residual_impl == "pallas"
     if use_pallas:
-        from ..materials import CompressibleOgdenNeoHookean
-        from ..ops.pallas_residual import (
-            neohookean_residual_pallas,
-            neohookean_tangent_apply_pallas,
-        )
+        from ..ops import sweeps as _sweeps
 
-        if not isinstance(mat, CompressibleOgdenNeoHookean):
-            raise ValueError(
-                "residual_impl='pallas' supports the neo-Hookean "
-                f"material only (got {type(mat).__name__})"
-            )
-        if prob.rhs.dtype != jnp.float32:
-            raise ValueError(
-                "residual_impl='pallas' requires a float32 problem"
-            )
-        if has_contact or has_visc:
-            raise ValueError(
-                "residual_impl='pallas' does not cover contact or "
-                "viscosity yet; use residual_impl='xla'"
-            )
-        _block_e = next(
-            b for b in (32, 16, 8, 4, 2, 1) if prob.n_el % b == 0
-        )
         _interpret = jax.default_backend() != "tpu"
+        _sw_args = dict(
+            mat=mat,
+            dt=dt,
+            dim=dim,
+            nd=int(prob.conn.shape[1]),
+            n_q=prob.n_q,
+            n_el=prob.n_el,
+            rho=float(mat.density),
+            mu_v=float(mat.viscosity) if has_visc else 0.0,
+            has_visc=has_visc,
+            state=prob.state0,
+            interpret=_interpret,
+        )
+        # per-kernel VMEM budgets: the assemble's linearize replay holds
+        # the most live planes, the matvec adds the (81, q, be) C block
+        _res_sweep = _sweeps.make_residual_sweep(
+            **_sw_args, block_e=_sweeps.pick_block_e(prob.n_el, 128)
+        )
+        _asm_sweep = _sweeps.make_assemble_sweep(
+            **_sw_args, block_e=_sweeps.pick_block_e(prob.n_el, 128)
+        )
+        _mv_sweep = _sweeps.make_matvec_sweep(
+            dim=dim,
+            nd=int(prob.conn.shape[1]),
+            n_q=prob.n_q,
+            n_el=prob.n_el,
+            rho=float(mat.density),
+            fac0=fac0,
+            fac1_mu_v=fac1 * (float(mat.viscosity) if has_visc else 0.0),
+            has_visc=has_visc,
+            block_e=_sweeps.pick_block_e(prob.n_el, 128),
+            interpret=_interpret,
+        )
     elif residual_impl not in ("xla", "soa"):
         raise ValueError(f"unknown residual_impl {residual_impl!r}")
 
@@ -609,13 +625,13 @@ def make_step(
     if has_cv:
         data["cv_mask"] = prob.cv_mask
         data["cv_vals"] = prob.cv_vals
-    if use_pallas:
-        # (dim, nd, n_el, n_q): element axis on sublanes, quads on lanes
-        data["dNdX_t"] = jnp.transpose(prob.dN_dX, (3, 2, 0, 1))
     if use_soa:
-        # batch-last tables: (n, f, e, q) and (n, e, q)
-        data["dN_t"] = jnp.transpose(prob.dN_dX, (2, 3, 0, 1))
-        data["N_t"] = jnp.transpose(prob.N, (2, 0, 1))
+        # batch-last tables in (q, e) order — elements on lanes, quads on
+        # sublanes: zero tile padding and per-element scalars broadcast
+        # along sublanes (see fem/soa.py state_to_soa)
+        data["dN_t"] = jnp.transpose(prob.dN_dX, (2, 3, 1, 0))
+        data["N_t"] = jnp.transpose(prob.N, (2, 1, 0))
+        data["wdet_t"] = prob.w_detJ.T
         # static block-Jacobi: M + fac1 S + fac0 K_elastic per-node
         # (dim x dim) blocks.  The geometry is total-Lagrangian (dN/dX,
         # w detJ constant), so the elastic surrogate of the consistent
@@ -668,40 +684,15 @@ def make_step(
         free = d["free"]
         cdata = d["contact"]
 
-        if use_pallas:
-            n_el_, n_q_ = wdet.shape
-            nd_ = conn.shape[1]
-
-            def E(u, state):
-                u_q = jnp.broadcast_to(
-                    jnp.transpose(u[conn], (2, 1, 0))[..., None],
-                    (dim, nd_, n_el_, n_q_),
-                )
-                res_t = neohookean_residual_pallas(
-                    u_q,
-                    d["dNdX_t"],
-                    wdet,
-                    mat.lambda_,
-                    mat.mu,
-                    block_e=_block_e,
-                    interpret=_interpret,
-                )
-                res_el = jnp.transpose(res_t, (2, 1, 0))
-                return (
-                    jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
-                )
-
-        else:
-
-            def E(u, state):
-                F = I + jnp.einsum("enc,eqnd->eqcd", u[conn], dNdX)
-                P = jax.vmap(
-                    jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))
-                )(F, state)
-                res_el = jnp.einsum("eq,eqnd,eqcd->enc", wdet, dNdX, P)
-                return (
-                    jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
-                )
+        def E(u, state):
+            F = I + jnp.einsum("enc,eqnd->eqcd", u[conn], dNdX)
+            P = jax.vmap(
+                jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))
+            )(F, state)
+            res_el = jnp.einsum("eq,eqnd,eqcd->enc", wdet, dNdX, P)
+            return (
+                jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
+            )
 
         def mass_apply(u):
             ye = jnp.einsum("enm,emc->enc", mass_blocks, u[conn])
@@ -745,10 +736,12 @@ def make_step(
 
         if use_soa:
             # ---- structure-of-arrays engine (fem/soa.py layout) ----
-            # every intermediate keeps (n_el, n_q) as the minor-most
-            # (tiled) dims; the d/nd loops unroll into fused VPU code.
-            dN_t = d["dN_t"]  # (nd, dim, n_el, n_q)
-            N_t = d["N_t"]  # (nd, n_el, n_q)
+            # every intermediate is a (n_q, n_el) plane — elements on
+            # lanes, quads on sublanes, zero tile padding; the d/nd
+            # loops unroll into fused VPU code.
+            dN_t = d["dN_t"]  # (nd, dim, n_q, n_el)
+            N_t = d["N_t"]  # (nd, n_q, n_el)
+            wdet_t = d["wdet_t"]  # (n_q, n_el)
             nd_s = conn.shape[1]
             rho_s = mat.density
             mu_v = mat.viscosity if has_visc else 0.0
@@ -761,12 +754,12 @@ def make_step(
                 return jnp.transpose(u[conn], (2, 1, 0))
 
             def grad_interp(w_t):
-                # dF[g,f](e,q) = sum_n w_t[g,n](e) dN_t[n,f](e,q)
+                # dF[g,f](q,e) = sum_n w_t[g,n](e) dN_t[n,f](q,e)
                 return soa.stack2(
                     [
                         [
                             sum(
-                                w_t[g, n][:, None] * dN_t[n, f_]
+                                w_t[g, n][None, :] * dN_t[n, f_]
                                 for n in range(nd_s)
                             )
                             for f_ in range(dim)
@@ -776,11 +769,11 @@ def make_step(
                 )
 
             def value_interp(w_t):
-                # uq[c](e,q) = sum_n w_t[c,n](e) N_t[n](e,q)
+                # uq[c](q,e) = sum_n w_t[c,n](e) N_t[n](q,e)
                 return jnp.stack(
                     [
                         sum(
-                            w_t[c, n][:, None] * N_t[n]
+                            w_t[c, n][None, :] * N_t[n]
                             for n in range(nd_s)
                         )
                         for c in range(dim)
@@ -800,7 +793,7 @@ def make_step(
                         )
                         if vec is not None:
                             integ = integ + N_t[n] * vec[c]
-                        cols_c.append((wdet * integ).sum(-1))
+                        cols_c.append((wdet_t * integ).sum(0))
                     rows.append(jnp.stack(cols_c, -1))  # (e, dim)
                 res_el = jnp.stack(rows, 1)  # (e, nd, dim)
                 return (
@@ -817,16 +810,42 @@ def make_step(
                 dV = grad_interp(gather_t(va + fac1 * aa))
                 return P + mu_v * dV
 
-            def residual(aa, xa, va, state):
-                x_t = gather_t(xa + fac0 * aa)
-                F = I_soa + grad_interp(x_t)
-                P = mat.pk1_soa(F, state, dt)
-                P = visc_add(P, aa, va)
-                vecm = rho_s * value_interp(gather_t(aa * free))
-                y = scatter_qp(P, vecm)
-                if has_contact:
-                    y = y + contact_residual(xa + fac0 * aa)
-                return (y - rhs) * free
+            def scatter_el(res_t):
+                # (dim, nd, n_el) kernel output -> global dof vector
+                return (
+                    jnp.zeros((n_dof, dim), res_t.dtype)
+                    .at[conn]
+                    .add(jnp.transpose(res_t, (2, 1, 0)))
+                )
+
+            if use_pallas:
+
+                def residual(aa, xa, va, state):
+                    u_el = gather_t(xa + fac0 * aa)
+                    a_el = gather_t(aa * free)
+                    v_el = (
+                        gather_t(va + fac1 * aa) if has_visc else None
+                    )
+                    res_t = _res_sweep(
+                        u_el, a_el, v_el, state, dN_t, N_t, wdet_t
+                    )
+                    y = scatter_el(res_t)
+                    if has_contact:
+                        y = y + contact_residual(xa + fac0 * aa)
+                    return (y - rhs) * free
+
+            else:
+
+                def residual(aa, xa, va, state):
+                    x_t = gather_t(xa + fac0 * aa)
+                    F = I_soa + grad_interp(x_t)
+                    P = mat.pk1_soa(F, state, dt)
+                    P = visc_add(P, aa, va)
+                    vecm = rho_s * value_interp(gather_t(aa * free))
+                    y = scatter_qp(P, vecm)
+                    if has_contact:
+                        y = y + contact_residual(xa + fac0 * aa)
+                    return (y - rhs) * free
 
         else:
 
@@ -918,7 +937,75 @@ def make_step(
             def res_fn(aa):
                 return residual(aa, xa, va, state)
 
-            if use_soa:
+            if use_pallas:
+                # fused VMEM sweeps (ops/sweeps.py): assemble emits the
+                # residual and the per-qp tangent C in one kernel; the
+                # matvec kernel fuses mass + viscosity + fac0*C:dF.
+                def _ctx_finish(r, ctx, aa):
+                    if has_contact:
+                        rc_, blocks_l, aux_l = contact_assemble(
+                            xa + fac0 * aa
+                        )
+                        r = r + rc_
+                        ctx["cblocks"] = blocks_l
+                        if precond == "bj":
+                            nb = d["bj_nblocks"] + fac0 * (
+                                contact_node_blocks(blocks_l)
+                            )
+                            ctx["bj_inv"] = block_jacobi_inverse(
+                                nb, free
+                            )
+                    elif precond == "bj":
+                        ctx["bj_inv"] = d["bj_inv_static"]
+                    return (r - rhs) * free, ctx
+
+                def assemble_fn(aa):
+                    u_el = gather_t(xa + fac0 * aa)
+                    a_el = gather_t(aa * free)
+                    v_el = (
+                        gather_t(va + fac1 * aa) if has_visc else None
+                    )
+                    res_t, Ck = _asm_sweep(
+                        u_el, a_el, v_el, state, dN_t, N_t, wdet_t
+                    )
+                    r = scatter_el(res_t)
+                    return _ctx_finish(r, {"Ck": Ck}, aa)
+
+                def solve_fn(ctx, r):
+                    Ck = ctx["Ck"]
+
+                    def J_apply(w_flat):
+                        w = w_flat.reshape(n_dof, dim) * free
+                        y_t = _mv_sweep(
+                            gather_t(w), dN_t, N_t, wdet_t, Ck
+                        )
+                        y = scatter_el(y_t)
+                        if has_contact:
+                            y = y + fac0 * contact_block_apply(
+                                ctx["cblocks"], w
+                            )
+                        return (
+                            y * free
+                            + w_flat.reshape(n_dof, dim) * (1 - free)
+                        ).reshape(-1)
+
+                    if precond == "fdm":
+                        M_apply = fdm_apply
+                    else:
+                        bj = ctx["bj_inv"]
+                        M_apply = lambda v: block_jacobi_apply(bj, v)
+                    c = gmres(
+                        J_apply,
+                        r.reshape(-1),
+                        M_apply=M_apply,
+                        rel_tol=lin_rel_tol,
+                        abs_tol=lin_abs_tol,
+                        restart=30,
+                        max_iter=cg_iters,
+                    )
+                    return c.reshape(n_dof, dim)
+
+            elif use_soa:
                 # residual + material tangent via jax.linearize with 9
                 # one-hot seeds: the tangent C[c,d,g,f](e,q) stays
                 # batch-last (no jacfwd lane padding), and the matvec
@@ -941,8 +1028,8 @@ def make_step(
                                 jvp_fn(jnp.broadcast_to(seed, F.shape))
                             )
                     C = jnp.stack(cols).reshape(
-                        dim, dim, dim, dim, n_el, n_q
-                    )  # (g, f, c, d, e, q)
+                        dim, dim, dim, dim, n_q, n_el
+                    )  # (g, f, c, d, q, e)
                     C = jnp.transpose(C, (2, 3, 0, 1, 4, 5))
                     P_eff = visc_add(P_lin, aa, va)
                     vecm = rho_s * value_interp(gather_t(aa * free))
@@ -1070,73 +1157,31 @@ def make_step(
                             ctx["cblocks"]
                         )
                     ctx["bj_inv"] = block_jacobi_inverse(nblocks, free)
-                    # scalar diagonal kept for the pcg (pallas) path
-                    diag = jnp.einsum("ncc->nc", nblocks).reshape(-1)
-                    diag = jnp.where(free_flat > 0, diag, 1.0)
-                    ctx["diag"] = diag
-                    if use_pallas:
-                        nd = conn.shape[1]
-                        ctx["x_q"] = jnp.broadcast_to(
-                            jnp.transpose(
-                                (xa + fac0 * aa)[conn], (2, 1, 0)
-                            )[..., None],
-                            (dim, nd, n_el, n_q),
-                        )
                     return r, ctx
 
                 def solve_fn(ctx, r):
                     Ct = ctx["Ct"]
-                    if use_pallas:
-                        nd = conn.shape[1]
 
-                        def bcast_q(x):
-                            return jnp.broadcast_to(
-                                jnp.transpose(x[conn], (2, 1, 0))[
-                                    ..., None
-                                ],
-                                (dim, nd, n_el, n_q),
-                            )
-
-                        def K_apply(w):
-                            y_t = neohookean_tangent_apply_pallas(
-                                ctx["x_q"],
-                                bcast_q(w),
-                                d["dNdX_t"],
-                                wdet,
-                                mat.lambda_,
-                                mat.mu,
-                                block_e=_block_e,
-                                interpret=_interpret,
-                            )
-                            y_el = jnp.transpose(y_t, (2, 1, 0))
-                            return (
-                                jnp.zeros((n_dof, dim), w.dtype)
-                                .at[conn]
-                                .add(y_el)
-                            )
-
-                    else:
-
-                        def K_apply(w):
-                            w_el = w[conn]
-                            # batch-last throughout: dF as (d2, eq)
-                            dF_t = jnp.einsum(
-                                "emg,eqmf->gfeq", w_el, dNdX
-                            ).reshape(d2, n_el * n_q)
-                            dP_t = jnp.einsum("abx,bx->ax", Ct, dF_t)
-                            dP = jnp.moveaxis(
-                                dP_t.reshape(dim, dim, n_el, n_q),
-                                (0, 1),
-                                (2, 3),
-                            )
-                            y_el = jnp.einsum(
-                                "eq,eqnd,eqcd->enc", wdet, dNdX, dP
-                            )
-                            return (
-                                jnp.zeros((n_dof, dim), w.dtype)
-                                .at[conn]
-                                .add(y_el)
-                            )
+                    def K_apply(w):
+                        w_el = w[conn]
+                        # batch-last throughout: dF as (d2, eq)
+                        dF_t = jnp.einsum(
+                            "emg,eqmf->gfeq", w_el, dNdX
+                        ).reshape(d2, n_el * n_q)
+                        dP_t = jnp.einsum("abx,bx->ax", Ct, dF_t)
+                        dP = jnp.moveaxis(
+                            dP_t.reshape(dim, dim, n_el, n_q),
+                            (0, 1),
+                            (2, 3),
+                        )
+                        y_el = jnp.einsum(
+                            "eq,eqnd,eqcd->enc", wdet, dNdX, dP
+                        )
+                        return (
+                            jnp.zeros((n_dof, dim), w.dtype)
+                            .at[conn]
+                            .add(y_el)
+                        )
 
                     def J_apply(w_flat):
                         w = w_flat.reshape(n_dof, dim) * free
@@ -1152,33 +1197,21 @@ def make_step(
                             + w_flat.reshape(n_dof, dim) * (1 - free)
                         ).reshape(-1)
 
-                    if use_pallas:
-                        # the neo-Hookean tangent is symmetric, so
-                        # Jacobi-PCG applies (and needs no transpose)
-                        c = pcg(
-                            J_apply,
-                            r.reshape(-1),
-                            ctx["diag"],
-                            rel_tol=lin_rel_tol,
-                            abs_tol=lin_abs_tol,
-                            max_iter=cg_iters,
-                        )
-                    else:
-                        # in-tree transpose-free GMRES (the consistent
-                        # J2 tangent is nonsymmetric at plastic states)
-                        # with the block-Jacobi preconditioner
-                        bj = ctx["bj_inv"]
-                        c = gmres(
-                            J_apply,
-                            r.reshape(-1),
-                            M_apply=lambda v: block_jacobi_apply(
-                                bj, v
-                            ),
-                            rel_tol=lin_rel_tol,
-                            abs_tol=lin_abs_tol,
-                            restart=30,
-                            max_iter=cg_iters,
-                        )
+                    # in-tree transpose-free GMRES (the consistent
+                    # J2 tangent is nonsymmetric at plastic states)
+                    # with the block-Jacobi preconditioner
+                    bj = ctx["bj_inv"]
+                    c = gmres(
+                        J_apply,
+                        r.reshape(-1),
+                        M_apply=lambda v: block_jacobi_apply(
+                            bj, v
+                        ),
+                        rel_tol=lin_rel_tol,
+                        abs_tol=lin_abs_tol,
+                        restart=30,
+                        max_iter=cg_iters,
+                    )
                     return c.reshape(n_dof, dim)
 
             else:
@@ -1410,10 +1443,10 @@ def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
     put_r = lambda a: jax.device_put(a, rep)
 
     def put_e_state(a):
-        # SoA state leaves are (*tensor_dims, n_el, n_q): the element
-        # axis sits at ndim-2.  Per-quad layout leaves have it at 0.
+        # SoA state leaves are (*tensor_dims, n_q, n_el): the element
+        # axis is last.  Per-quad layout leaves have it at 0.
         if prob.state_soa:
-            spec = P(*([None] * (a.ndim - 2)), "e")
+            spec = P(*([None] * (a.ndim - 1)), "e")
         else:
             spec = P("e")
         return jax.device_put(a, NamedSharding(mesh, spec))

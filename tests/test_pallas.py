@@ -91,25 +91,14 @@ def test_make_step_pallas_residual_matches_xla():
         **kw,
     )
     carry0 = sh.initial_carry(prob, dt=0.05)
-    step_x = sh.make_step(prob, 0.05, newton_iters=3)
-    step_p = sh.make_step(prob, 0.05, newton_iters=3, residual_impl="pallas")
-    cx, cp = carry0, carry0
-    for _ in range(2):
-        cx = step_x(cx)
-        cp = step_p(cp)
-    scale = float(jnp.abs(cx["u"]).max())
-    err = float(jnp.abs(cx["u"] - cp["u"]).max())
-    assert err < 1e-5 * max(scale, 1.0), (err, scale)
-
-    # iterative path: pallas swaps the gmres matvec for the fused VMEM
-    # tangent apply + symmetric Jacobi-PCG
+    # fused-sweep kernels (interpret mode on CPU) vs the XLA SoA engine
     step_pc = sh.make_step(
         prob, 0.05, newton_iters=2, solver="cg", cg_iters=40,
         residual_impl="pallas",
     )
     cpc = step_pc(carry0)
     step_xc = sh.make_step(prob, 0.05, newton_iters=2, solver="cg",
-                           cg_iters=40)
+                           cg_iters=40, residual_impl="soa")
     cxc = step_xc(carry0)
     scale = float(jnp.abs(cxc["u"]).max())
     err = float(jnp.abs(cxc["u"] - cpc["u"]).max())
@@ -117,6 +106,12 @@ def test_make_step_pallas_residual_matches_xla():
 
     with pytest.raises(ValueError):
         sh.make_step(prob, 0.05, residual_impl="bogus")
+    # the kernel path requires an iterative solver
+    with pytest.raises(ValueError):
+        sh.make_step(prob, 0.05, residual_impl="pallas")  # dense default
+
+    # J2 plasticity runs through the generic kernels (state + in-kernel
+    # radial return); J2Log has no SoA fast path and must raise
     j2 = mimi.J2Linear()
     j2.density = 1
     j2.viscosity = -1
@@ -130,8 +125,19 @@ def test_make_step_pallas_residual_matches_xla():
         {1: -3.0},
         **kw,
     )
-    with pytest.raises(ValueError):
-        sh.make_step(prob_j2, 0.05, residual_impl="pallas")
+    step_j2p = sh.make_step(
+        prob_j2, 0.05, newton_iters=2, solver="cg", cg_iters=40,
+        residual_impl="pallas",
+    )
+    step_j2s = sh.make_step(
+        prob_j2, 0.05, newton_iters=2, solver="cg", cg_iters=40,
+        residual_impl="soa",
+    )
+    c0 = sh.initial_carry(prob_j2, dt=0.05)
+    cj_p = step_j2p(c0)
+    cj_s = step_j2s(c0)
+    err = float(jnp.abs(cj_p["u"] - cj_s["u"]).max())
+    assert err < 1e-5, err
 
 
 def test_pallas_neohookean_tangent_apply_interpret():

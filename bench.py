@@ -106,31 +106,46 @@ def _time_steps(prob, step, n_steps):
 def main():
     from mimi_tpu.parallel import sharding as sh
 
+    # north-star scale: MIMI_BENCH_SPANS^3 elements (48^3 = 110,592 ~
+    # the 1e5-element 3D J2 sweep of BASELINE.json); set
+    # MIMI_BENCH_SPANS=0 to fall back to 2^(3*MIMI_BENCH_SUBDIV)
+    spans = int(os.environ.get("MIMI_BENCH_SPANS", "48"))
     subdiv = int(os.environ.get("MIMI_BENCH_SUBDIV", "3"))
-    n_steps = int(os.environ.get("MIMI_BENCH_STEPS", "10"))
-    prob = _build(subdiv)
+    n_steps = int(os.environ.get("MIMI_BENCH_STEPS", "5"))
+    on_tpu = jax.default_backend() == "tpu"
+    impl = "pallas" if on_tpu else "soa"
+    prob = _build(subdiv, spans if spans > 0 else None)
     qp_total = prob.n_el * prob.n_q
 
     step = sh.make_step(
-        prob, dt=0.05, newton_iters=NEWTON_ITERS, solver="cg", cg_iters=150
+        prob, dt=0.05, newton_iters=NEWTON_ITERS, solver="cg",
+        cg_iters=40, residual_impl=impl, precond="fdm",
     )
     wall = _time_steps(prob, step, n_steps)
     per_step = wall / n_steps
     evals_per_sec = qp_total * RES_EVALS_PER_STEP / per_step
 
-    # host-CPU baseline of the identical workload (reference is CPU-only)
+    # host-CPU baseline (the reference is CPU-only; no published numbers
+    # exist, BASELINE.md).  The CPU side runs the identical algorithm on
+    # a small mesh and is compared per quad point: per-qp throughput is
+    # the right size-free denominator (the full 1e5 config would need
+    # minutes per step on the host).
     vs_baseline = -1.0
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            prob_cpu = _build(subdiv)
+            prob_cpu = _build(3, None)  # 512 elements
             step_cpu = sh.make_step(
                 prob_cpu, dt=0.05, newton_iters=NEWTON_ITERS,
-                solver="cg", cg_iters=150,
+                solver="cg", cg_iters=40, residual_impl="soa",
+                precond="fdm",
             )
-            n_cpu = max(1, min(2, n_steps))
-            wall_cpu = _time_steps(prob_cpu, step_cpu, n_cpu)
-            vs_baseline = (wall_cpu / n_cpu) / per_step
+            wall_cpu = _time_steps(prob_cpu, step_cpu, 1)
+            cpu_evals = (
+                prob_cpu.n_el * prob_cpu.n_q * RES_EVALS_PER_STEP
+                / wall_cpu
+            )
+            vs_baseline = evals_per_sec / cpu_evals
     except Exception as e:
         print(f"# cpu baseline skipped: {e}", file=sys.stderr)
 

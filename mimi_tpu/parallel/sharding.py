@@ -260,7 +260,11 @@ def build_problem(
     except Exception:
         fdm = None
 
-    cast = lambda a: jnp.asarray(a, dtype) if a.dtype.kind == "f" else jnp.asarray(a)
+    # domain tables stay HOST-side numpy on the Problem: make_step
+    # device-puts only the layout the selected engine consumes (holding
+    # both the batch-first and (q, e) copies on device exhausted HBM at
+    # the 1e5-element scale); contact tables are small and stay jnp
+    cast = lambda a: np.asarray(a, dtype) if a.dtype.kind == "f" else np.asarray(a)
 
     contact_data, contact_static = [], []
     if contact:
@@ -293,14 +297,19 @@ def build_problem(
                     rep = np.zeros_like(rep)
                 return np.concatenate([a, rep])
 
+            dcast = (
+                lambda a: jnp.asarray(a, dtype)
+                if a.dtype.kind == "f"
+                else jnp.asarray(a)
+            )
             cd = {
                 "conn": jnp.asarray(padc(c_conn)),
-                "N": cast(padc(bt.N[marked])),
-                "dN": cast(padc(bt.dN_dxi[marked])),
-                "wq": cast(padc(bt.wq[marked], zero=True)),
-                "nsign": cast(padc(bt.normal_sign[marked])),
+                "N": dcast(padc(bt.N[marked])),
+                "dN": dcast(padc(bt.dN_dxi[marked])),
+                "wq": dcast(padc(bt.wq[marked], zero=True)),
+                "nsign": dcast(padc(bt.normal_sign[marked])),
                 "ldof": jnp.asarray(padc(ldof)),
-                "x_ref_el": cast(x_ref[padc(c_conn)]),
+                "x_ref_el": dcast(x_ref[padc(c_conn)]),
                 "scene": jax.tree.map(
                     lambda a: jnp.asarray(a, dtype)
                     if jnp.asarray(a).dtype.kind == "f"
@@ -324,7 +333,7 @@ def build_problem(
         dim=dim,
         n_el=n_el + n_pad,
         n_q=n_q,
-        conn=jnp.asarray(conn),
+        conn=np.asarray(conn),
         dN_dX=cast(dN_dX),
         w_detJ=cast(w_detJ),
         N=cast(N),
@@ -394,53 +403,115 @@ def initial_carry(prob: Problem, dt: float = 1.0):
     return carry
 
 
+def _soa_E_residual(mat, dt, dim, n_dof, conn, dN_t, wdet_t, u, state_soa):
+    """SoA elastic-force sweep y = E(u) shared by the one-time explicit
+    acceleration solve (batch-last, no (e, q, 3, 3) tile-padding — the
+    vmapped per-quad path OOMs at 1e5 elements with 56.9x padding)."""
+    nd = conn.shape[1]
+    w_t = jnp.transpose(u[conn], (2, 1, 0))
+    grad = soa.stack2(
+        [
+            [
+                sum(
+                    dN_t[n, f_] * w_t[g, n][None, :]
+                    for n in range(nd)
+                )
+                for f_ in range(dim)
+            ]
+            for g in range(dim)
+        ]
+    )
+    F = soa.add_diag(grad, 1.0)
+    P = mat.pk1_soa(F, state_soa, dt)
+    rows = []
+    for n in range(nd):
+        cols = []
+        for c in range(dim):
+            integ = sum(dN_t[n, dd] * P[c, dd] for dd in range(dim))
+            cols.append((wdet_t * integ).sum(0))
+        rows.append(jnp.stack(cols, -1))
+    res_el = jnp.stack(rows, 1)
+    return jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
+
+
 def _explicit_accel(prob: Problem, u, v, state, dt):
     mat = prob.material
     dim = prob.dim
     n_dof = prob.n_dof
-    conn = prob.conn
-    free = prob.free
     I = jnp.eye(dim, dtype=prob.rhs.dtype)
-    if prob.state_soa and state is not None:
-        # one-time path: convert to the per-quad layout the vmapped
-        # element kernel below expects
-        state = soa.state_from_soa(state)
+    mat_has_soa = getattr(mat, "has_soa", False) or not mat.has_state
+    contact_fns = _contact_fns_for(prob)
 
-    def elem_residual(u_el, dNdX_e, wdet_e, state_e):
-        F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
-        P_ = jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))(F, state_e)
-        return jnp.einsum("q,qnd,qcd->nc", wdet_e, dNdX_e, P_)
+    def impl(u, v, state, d):
+        conn = d["conn"]
+        free = d["free"]
+        if mat_has_soa:
+            state_soa = state
+            if state is not None and not prob.state_soa:
+                state_soa = soa.state_to_soa(state)
+            dN_t = jnp.transpose(d["dNdX"], (2, 3, 1, 0))
+            wdet_t = d["wdet"].T
+            E_u = _soa_E_residual(
+                mat, dt, dim, n_dof, conn, dN_t, wdet_t, u, state_soa
+            )
+        else:
+            state_aos = state
+            if state is not None and prob.state_soa:
+                state_aos = soa.state_from_soa(state)
 
-    res_el = jax.vmap(elem_residual)(
-        u[conn], prob.dN_dX, prob.w_detJ, state
-    )
-    E_u = jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
-    if prob.visc_blocks is not None:
-        ve = jnp.einsum("enm,emc->enc", prob.visc_blocks, v[conn])
-        E_u = E_u.at[conn].add(ve)
-    for cd, fns in zip(prob.contact, _contact_fns_for(prob)):
-        pp, rp, _ = fns
-        pressure, _ = pp(u, cd, cd["scene"], cd["penalty"])
-        res_c, _, _ = rp(u, cd, pressure)
-        E_u = E_u.at[cd["conn"]].add(res_c)
-    z = (prob.rhs - E_u) * free
+            def elem_residual(u_el, dNdX_e, wdet_e, state_e):
+                F = I + jnp.einsum("nc,qnd->qcd", u_el, dNdX_e)
+                P_ = jax.vmap(lambda Fq, sq: mat.pk1(Fq, sq, dt))(
+                    F, state_e
+                )
+                return jnp.einsum("q,qnd,qcd->nc", wdet_e, dNdX_e, P_)
 
-    def mass_apply(w_flat):
-        w = w_flat.reshape(n_dof, dim) * free
-        ye = jnp.einsum("enm,emc->enc", prob.mass_blocks, w[conn])
-        y = jnp.zeros((n_dof, dim), w.dtype).at[conn].add(ye)
-        return (
-            y * free + w_flat.reshape(n_dof, dim) * (1 - free)
-        ).reshape(-1)
+            res_el = jax.vmap(elem_residual)(
+                u[conn], d["dNdX"], d["wdet"], state_aos
+            )
+            E_u = jnp.zeros((n_dof, dim), u.dtype).at[conn].add(res_el)
+        if d.get("visc_blocks") is not None:
+            ve = jnp.einsum("enm,emc->enc", d["visc_blocks"], v[conn])
+            E_u = E_u.at[conn].add(ve)
+        for cd, fns in zip(d["contact"], contact_fns):
+            pp, rp, _ = fns
+            pressure, _ = pp(u, cd, cd["scene"], cd["penalty"])
+            res_c, _, _ = rp(u, cd, pressure)
+            E_u = E_u.at[cd["conn"]].add(res_c)
+        z = (d["rhs"] - E_u) * free
 
-    m_diag = jnp.zeros(n_dof, prob.rhs.dtype).at[conn].add(
-        jnp.einsum("enn->en", prob.mass_blocks)
-    )
-    diag = jnp.repeat(m_diag, dim)
-    diag = jnp.where(free.reshape(-1) > 0, diag, 1.0)
-    a = pcg(mass_apply, z.reshape(-1), diag, rel_tol=1e-8, abs_tol=1e-12,
-            max_iter=1000)
-    return a.reshape(n_dof, dim) * free
+        def mass_apply(w_flat):
+            w = w_flat.reshape(n_dof, dim) * free
+            ye = jnp.einsum("enm,emc->enc", d["mass_blocks"], w[conn])
+            y = jnp.zeros((n_dof, dim), w.dtype).at[conn].add(ye)
+            return (
+                y * free + w_flat.reshape(n_dof, dim) * (1 - free)
+            ).reshape(-1)
+
+        m_diag = jnp.zeros(n_dof, prob.rhs.dtype).at[conn].add(
+            jnp.einsum("enn->en", d["mass_blocks"])
+        )
+        diag = jnp.repeat(m_diag, dim)
+        diag = jnp.where(free.reshape(-1) > 0, diag, 1.0)
+        a = pcg(
+            mass_apply, z.reshape(-1), diag, rel_tol=1e-8,
+            abs_tol=1e-12, max_iter=1000,
+        )
+        return a.reshape(n_dof, dim) * free
+
+    data = {
+        "conn": prob.conn,
+        "dNdX": prob.dN_dX,
+        "wdet": prob.w_detJ,
+        "mass_blocks": prob.mass_blocks,
+        "rhs": prob.rhs,
+        "free": prob.free,
+        "visc_blocks": prob.visc_blocks,
+        "contact": prob.contact,
+    }
+    # jitted with arrays as call-time args (closure constants would be
+    # re-embedded and constant-folded at compile time)
+    return jax.jit(impl)(u, v, state, data)
 
 
 def make_step(
@@ -611,27 +682,55 @@ def make_step(
     elif residual_impl not in ("xla", "soa"):
         raise ValueError(f"unknown residual_impl {residual_impl!r}")
 
+    # device-put exactly what the selected engine consumes: the Problem
+    # keeps tables host-side, and holding both the batch-first and
+    # (q, e) layouts on device exhausts HBM at the 1e5-element scale
+    def dput(a):
+        # leave device arrays (possibly sharded by shard_problem) alone
+        if isinstance(a, jax.Array):
+            return a
+        return jax.device_put(jnp.asarray(a))
     data = {
-        "conn": prob.conn,
-        "dNdX": prob.dN_dX,
-        "wdet": prob.w_detJ,
-        "mass_blocks": prob.mass_blocks,
-        "rhs": prob.rhs,
-        "free": prob.free,
+        "rhs": dput(prob.rhs),
+        "free": dput(prob.free),
         "contact": prob.contact,
     }
-    if has_visc:
-        data["visc_blocks"] = prob.visc_blocks
     if has_cv:
-        data["cv_mask"] = prob.cv_mask
-        data["cv_vals"] = prob.cv_vals
+        data["cv_mask"] = dput(prob.cv_mask)
+        data["cv_vals"] = dput(prob.cv_vals)
+    if not use_soa or not iterative:
+        # batch-first engines (xla einsum / dense)
+        data["conn"] = dput(prob.conn)
+        data["dNdX"] = dput(prob.dN_dX)
+        data["wdet"] = dput(prob.w_detJ)
+        data["mass_blocks"] = dput(prob.mass_blocks)
+        if has_visc:
+            data["visc_blocks"] = dput(prob.visc_blocks)
+    elif has_visc:
+        data["visc_blocks"] = dput(prob.visc_blocks)
     if use_soa:
         # batch-last tables in (q, e) order — elements on lanes, quads on
         # sublanes: zero tile padding and per-element scalars broadcast
         # along sublanes (see fem/soa.py state_to_soa)
-        data["dN_t"] = jnp.transpose(prob.dN_dX, (2, 3, 1, 0))
-        data["N_t"] = jnp.transpose(prob.N, (2, 1, 0))
-        data["wdet_t"] = prob.w_detJ.T
+        if isinstance(prob.dN_dX, jax.Array):
+            # sharded problem: transposes propagate the sharding (the
+            # element axis moves to the batch-last position)
+            data["dN_t"] = jnp.transpose(prob.dN_dX, (2, 3, 1, 0))
+            data["N_t"] = jnp.transpose(prob.N, (2, 1, 0))
+            data["wdet_t"] = prob.w_detJ.T
+            data["connT"] = prob.conn.T
+        else:
+            data["dN_t"] = dput(
+                np.transpose(prob.dN_dX, (2, 3, 1, 0)).copy()
+            )
+            data["N_t"] = dput(np.transpose(prob.N, (2, 1, 0)).copy())
+            data["wdet_t"] = dput(np.ascontiguousarray(prob.w_detJ.T))
+            # transposed connectivity for layout-friendly gather/scatter:
+            # indexing the (dim, n_dof) transposed dof vector with
+            # (nd, e) keeps the minor dims large (the (e, nd, dim)
+            # scatter fused into a ~12 ms/GMRES-iteration monster at 32k)
+            data["connT"] = dput(np.ascontiguousarray(prob.conn.T))
+    if use_soa and precond == "bj":
         # static block-Jacobi: M + fac1 S + fac0 K_elastic per-node
         # (dim x dim) blocks.  The geometry is total-Lagrangian (dN/dX,
         # w detJ constant), so the elastic surrogate of the consistent
@@ -642,30 +741,37 @@ def make_step(
         # A[c,g] = sum_q w dN_c dN_g (symmetric).
         lam_s = max(float(mat.lambda_), 0.0)
         mu_s = max(float(mat.mu), 0.0)
-        A_el = jnp.einsum(
-            "eq,eqnc,eqng->encg", prob.w_detJ, prob.dN_dX, prob.dN_dX
+        A_el = np.einsum(
+            "eq,eqnc,eqng->encg",
+            prob.w_detJ,
+            prob.dN_dX,
+            prob.dN_dX,
+            optimize=True,
         )
-        eye_d = jnp.eye(dim, dtype=prob.rhs.dtype)
-        kb_el = (lam_s + mu_s) * A_el + mu_s * jnp.einsum(
+        eye_d = np.eye(dim, dtype=prob.rhs.dtype)
+        kb_el = (lam_s + mu_s) * A_el + mu_s * np.einsum(
             "encc->en", A_el
         )[..., None, None] * eye_d
-        nblocks = (
-            jnp.zeros((n_dof, dim, dim), prob.rhs.dtype)
-            .at[prob.conn]
-            .add(kb_el)
-            * fac0
-        )
-        m_diag_s = jnp.zeros(n_dof, prob.rhs.dtype).at[prob.conn].add(
-            jnp.einsum("enn->en", prob.mass_blocks)
+        nblocks = np.zeros((n_dof, dim, dim), prob.rhs.dtype)
+        np.add.at(nblocks, prob.conn, kb_el)
+        nblocks *= fac0
+        m_diag_s = np.zeros(n_dof, prob.rhs.dtype)
+        np.add.at(
+            m_diag_s, prob.conn, np.einsum("enn->en", prob.mass_blocks)
         )
         nblocks = nblocks + m_diag_s[:, None, None] * eye_d
         if has_visc:
-            s_diag_s = jnp.zeros(n_dof, prob.rhs.dtype).at[
-                prob.conn
-            ].add(jnp.einsum("enn->en", prob.visc_blocks))
+            s_diag_s = np.zeros(n_dof, prob.rhs.dtype)
+            np.add.at(
+                s_diag_s,
+                prob.conn,
+                np.einsum("enn->en", prob.visc_blocks),
+            )
             nblocks = nblocks + fac1 * s_diag_s[:, None, None] * eye_d
-        data["bj_nblocks"] = nblocks
-        data["bj_inv_static"] = block_jacobi_inverse(nblocks, prob.free)
+        data["bj_nblocks"] = dput(nblocks)
+        data["bj_inv_static"] = block_jacobi_inverse(
+            dput(nblocks), dput(prob.free)
+        )
 
     def pk1_and_tangent(Fq, state_q):
         def fn(Fx):
@@ -676,10 +782,11 @@ def make_step(
         return P, C
 
     def impl(carry, d):
-        conn = d["conn"]
-        dNdX = d["dNdX"]
-        wdet = d["wdet"]
-        mass_blocks = d["mass_blocks"]
+        # batch-first tables are only present for the xla/dense engines
+        conn = d.get("conn")
+        dNdX = d.get("dNdX")
+        wdet = d.get("wdet")
+        mass_blocks = d.get("mass_blocks")
         rhs = d["rhs"]
         free = d["free"]
         cdata = d["contact"]
@@ -732,7 +839,7 @@ def make_step(
             return out, blocks_l, aux_l
 
         d2 = dim * dim
-        n_el, n_q = wdet.shape
+        n_el, n_q = prob.n_el, prob.n_q
 
         if use_soa:
             # ---- structure-of-arrays engine (fem/soa.py layout) ----
@@ -742,16 +849,19 @@ def make_step(
             dN_t = d["dN_t"]  # (nd, dim, n_q, n_el)
             N_t = d["N_t"]  # (nd, n_q, n_el)
             wdet_t = d["wdet_t"]  # (n_q, n_el)
-            nd_s = conn.shape[1]
+            nd_s = int(prob.conn.shape[1])
             rho_s = mat.density
             mu_v = mat.viscosity if has_visc else 0.0
             I_soa = jnp.eye(dim, dtype=rhs.dtype).reshape(
                 dim, dim, 1, 1
             )
 
+            connT = d["connT"]  # (nd, n_el)
+
             def gather_t(u):
-                # (n_dof, dim) -> (dim, nd, n_el)
-                return jnp.transpose(u[conn], (2, 1, 0))
+                # (n_dof, dim) -> (dim, nd, n_el) via the transposed
+                # dof vector (minor dims stay large)
+                return u.T[:, connT]
 
             def grad_interp(w_t):
                 # dF[g,f](q,e) = sum_n w_t[g,n](e) dN_t[n,f](q,e)
@@ -780,27 +890,33 @@ def make_step(
                     ]
                 )
 
+            def scatter_el(res_t):
+                # (dim, nd, n_el) element values -> (n_dof, dim) via the
+                # transposed accumulator (layout-friendly scatter-add)
+                out_t = (
+                    jnp.zeros((dim, n_dof), res_t.dtype)
+                    .at[:, connT]
+                    .add(res_t)
+                )
+                return out_t.T
+
             def scatter_qp(P_eff, vec=None):
-                # y[n,c] = sum_q wdet (sum_d dN_t[n,d] P_eff[c,d]
-                #                      + N_t[n] vec[c])
+                # y[c,n](e) = sum_q wdet (sum_d dN_t[n,d] P_eff[c,d]
+                #                         + N_t[n] vec[c])
                 rows = []
-                for n in range(nd_s):
-                    cols_c = []
-                    for c in range(dim):
+                for c in range(dim):
+                    cols_n = []
+                    for n in range(nd_s):
                         integ = sum(
                             dN_t[n, dd] * P_eff[c, dd]
                             for dd in range(dim)
                         )
                         if vec is not None:
                             integ = integ + N_t[n] * vec[c]
-                        cols_c.append((wdet_t * integ).sum(0))
-                    rows.append(jnp.stack(cols_c, -1))  # (e, dim)
-                res_el = jnp.stack(rows, 1)  # (e, nd, dim)
-                return (
-                    jnp.zeros((n_dof, dim), res_el.dtype)
-                    .at[conn]
-                    .add(res_el)
-                )
+                        cols_n.append((wdet_t * integ).sum(0))
+                    rows.append(jnp.stack(cols_n, 0))  # (nd, e)
+                res_t = jnp.stack(rows, 0)  # (dim, nd, e)
+                return scatter_el(res_t)
 
             def visc_add(P, aa, va):
                 # S (v + fac1 a) as a diffusion flux fused into the
@@ -809,14 +925,6 @@ def make_step(
                     return P
                 dV = grad_interp(gather_t(va + fac1 * aa))
                 return P + mu_v * dV
-
-            def scatter_el(res_t):
-                # (dim, nd, n_el) kernel output -> global dof vector
-                return (
-                    jnp.zeros((n_dof, dim), res_t.dtype)
-                    .at[conn]
-                    .add(jnp.transpose(res_t, (2, 1, 0)))
-                )
 
             if use_pallas:
 

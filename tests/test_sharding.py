@@ -339,12 +339,23 @@ def test_compiled_newton_diagnostics():
 
 def test_pallas_guardrails():
     """Unsupported feature combos must raise loudly, not silently drop
-    physics."""
+    physics.  (Viscosity and contact are kernel-supported since round 2;
+    the remaining guardrails are solver kind, dtype and SoA support.)"""
     m = _neo_mat()
     m.viscosity = 10.0
     prob = sh.build_problem(
         os.path.join(DATA, "balken.mesh"), 1, 1, m,
         [(2, 0), (2, 1)], {1: -1.0}, dtype=jnp.float32,
     )
-    with pytest.raises(ValueError, match="viscosity"):
+    # dense solver cannot host the kernel engines
+    with pytest.raises(ValueError, match="iterative"):
         sh.make_step(prob, 0.1, residual_impl="pallas")
+    # f64 problems are not kernel-eligible
+    prob64 = sh.build_problem(
+        os.path.join(DATA, "balken.mesh"), 1, 1, _neo_mat(),
+        [(2, 0), (2, 1)], {1: -1.0},
+    )
+    with pytest.raises(ValueError, match="float32"):
+        sh.make_step(
+            prob64, 0.1, solver="cg", residual_impl="pallas"
+        )

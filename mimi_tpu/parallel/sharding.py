@@ -92,6 +92,9 @@ class Problem:
     # tensor-product fast-diagonalization preconditioner data
     # (solvers/fdm.py), or None when the patch/BCs don't factorize
     fdm: dict | None = None
+    # structured-grid info for slice-based gather/scatter (single
+    # patch): {"spans", "nc", "pp1"}; None for multi-patch problems
+    grid: dict | None = None
     # reference control-point coordinates (n_dof, dim), numpy
     x_ref: np.ndarray | None = None
 
@@ -132,6 +135,7 @@ def build_problem(
     boundaries are interactive-session-only; request them there.
     """
     mesh = read_mfem_nurbs_mesh(mesh_path)
+    grid = None
     if len(mesh.elements) > 1:
         from ..fem.multipatch import MultiPatchFESpace
 
@@ -150,6 +154,11 @@ def build_problem(
         if refine_spans is not None:
             patch.refine_to(refine_spans)
         fes = FESpace(patch, topo)
+        grid = {
+            "spans": list(patch.n_spans()),
+            "nc": list(patch.n_ctrl()),
+            "pp1": [p_ + 1 for p_ in patch.degrees],
+        }
     dim = fes.dim
     n_dof = fes.n_dof
     material.setup(dim)
@@ -351,8 +360,59 @@ def build_problem(
         contact_static=contact_static,
         state_soa=state_soa,
         fdm=fdm,
+        grid=grid,
         x_ref=np.asarray(fes.x_ref),
     )
+
+
+def _local_offsets(pp1):
+    """Local tensor-product dof offsets in conn's lexicographic order
+    (axis-0 fastest): l = a0 + pp1[0]*(a1 + pp1[1]*a2)."""
+    total = int(np.prod(pp1))
+    for l in range(total):
+        rem = l
+        a = []
+        for k in range(len(pp1)):
+            a.append(rem % pp1[k])
+            rem //= pp1[k]
+        yield tuple(a)
+
+
+def _structured_gather(u, dim, spans, pp1, nc, n_pad):
+    """Element-dof gather on a structured patch as static slices of the
+    dof grid — XLA's general gather/scatter lowers to a sort + serial
+    segment reduce (profiled at ~41 ms per GMRES iteration at 1e5
+    elements, 4500x off bandwidth); the tensor-product connectivity
+    makes it prod(pp1) overlapping slice reads instead."""
+    u_grid = u.T.reshape((dim, *nc[::-1]))
+    slabs = []
+    for alphas in _local_offsets(pp1):
+        idx = (slice(None),) + tuple(
+            slice(a, a + s) for a, s in zip(alphas[::-1], spans[::-1])
+        )
+        slabs.append(u_grid[idx].reshape(dim, -1))
+    out = jnp.stack(slabs, 1)  # (dim, nd, n_el_real)
+    if n_pad:
+        out = jnp.concatenate(
+            [out, jnp.zeros((dim, out.shape[1], n_pad), u.dtype)], -1
+        )
+    return out
+
+
+def _structured_scatter(res_t, dim, spans, pp1, nc, n_dof, n_pad):
+    """Transpose of _structured_gather: overlap-add of prod(pp1) shifted
+    slice blocks.  Padded elements carry exactly-zero contributions
+    (w_detJ = 0) and are dropped."""
+    n_real = int(np.prod(spans))
+    vals = res_t[..., :n_real] if n_pad else res_t
+    y = jnp.zeros((dim, *nc[::-1]), res_t.dtype)
+    for l, alphas in enumerate(_local_offsets(pp1)):
+        block = vals[:, l, :].reshape((dim, *spans[::-1]))
+        idx = (slice(None),) + tuple(
+            slice(a, a + s) for a, s in zip(alphas[::-1], spans[::-1])
+        )
+        y = y.at[idx].add(block)
+    return y.reshape(dim, n_dof).T
 
 
 def _merge_dirichlet(pairs):
@@ -856,12 +916,29 @@ def make_step(
                 dim, dim, 1, 1
             )
 
-            connT = d["connT"]  # (nd, n_el)
+            # structured (slice-based) dof mapping when the patch grid
+            # is available and unsharded; general transposed-conn
+            # gather/scatter otherwise
+            structured = (
+                prob.grid is not None
+                and not isinstance(prob.dN_dX, jax.Array)
+            )
+            if structured:
+                _g = prob.grid
+                _n_pad = prob.n_el - int(np.prod(_g["spans"]))
 
-            def gather_t(u):
-                # (n_dof, dim) -> (dim, nd, n_el) via the transposed
-                # dof vector (minor dims stay large)
-                return u.T[:, connT]
+                def gather_t(u):
+                    return _structured_gather(
+                        u, dim, _g["spans"], _g["pp1"], _g["nc"], _n_pad
+                    )
+
+            else:
+                connT = d["connT"]  # (nd, n_el)
+
+                def gather_t(u):
+                    # (n_dof, dim) -> (dim, nd, n_el) via the
+                    # transposed dof vector (minor dims stay large)
+                    return u.T[:, connT]
 
             def grad_interp(w_t):
                 # dF[g,f](q,e) = sum_n w_t[g,n](e) dN_t[n,f](q,e)
@@ -890,15 +967,25 @@ def make_step(
                     ]
                 )
 
-            def scatter_el(res_t):
-                # (dim, nd, n_el) element values -> (n_dof, dim) via the
-                # transposed accumulator (layout-friendly scatter-add)
-                out_t = (
-                    jnp.zeros((dim, n_dof), res_t.dtype)
-                    .at[:, connT]
-                    .add(res_t)
-                )
-                return out_t.T
+            if structured:
+
+                def scatter_el(res_t):
+                    return _structured_scatter(
+                        res_t, dim, _g["spans"], _g["pp1"], _g["nc"],
+                        n_dof, _n_pad,
+                    )
+
+            else:
+
+                def scatter_el(res_t):
+                    # (dim, nd, n_el) element values -> (n_dof, dim)
+                    # via the transposed accumulator
+                    out_t = (
+                        jnp.zeros((dim, n_dof), res_t.dtype)
+                        .at[:, connT]
+                        .add(res_t)
+                    )
+                    return out_t.T
 
             def scatter_qp(P_eff, vec=None):
                 # y[c,n](e) = sum_q wdet (sum_d dN_t[n,d] P_eff[c,d]
@@ -1602,6 +1689,7 @@ def shard_problem(prob: Problem, mesh: Mesh) -> Problem:
         contact_static=prob.contact_static,
         state_soa=prob.state_soa,
         fdm=prob.fdm,
+        grid=None,
         x_ref=prob.x_ref,
     )
 

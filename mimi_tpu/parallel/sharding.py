@@ -265,7 +265,14 @@ def build_problem(
         state0 = soa.state_to_soa(state0)
 
     try:
-        fdm = build_fdm_data(fes, dir_pairs, material)
+        fdm = build_fdm_data(
+            fes,
+            dir_pairs,
+            material,
+            contact_springs=[
+                (bid, scene.coefficient) for bid, scene in (contact or [])
+            ],
+        )
     except Exception:
         fdm = None
 
@@ -687,10 +694,10 @@ def make_step(
     # factorize and no contact perturbs the spectrum; per-control-point
     # block-Jacobi otherwise
     if precond == "auto":
+        # FDM covers contact problems too: the penalty folds into the
+        # face-normal 1D stiffness as a boundary spring (solvers/fdm.py)
         precond = (
-            "fdm"
-            if (use_soa and prob.fdm is not None and not has_contact)
-            else "bj"
+            "fdm" if (use_soa and prob.fdm is not None) else "bj"
         )
     if precond == "fdm":
         if prob.fdm is None:

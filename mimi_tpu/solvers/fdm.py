@@ -59,12 +59,20 @@ def _assemble_1d(kv, p, n_gauss, length):
     return M * scale, K / scale
 
 
-def build_fdm_data(fes, dir_pairs, material):
+def build_fdm_data(fes, dir_pairs, material, contact_springs=None):
     """Precompute the per-(component, axis) embedded eigenbases.
 
     dir_pairs: [(bid, component), ...] — must be face Dirichlet sets
     (the only kind the builder produces).  Returns a numpy dict or None
     when the decomposition does not apply (no elastic constants).
+
+    contact_springs: [(bid, penalty), ...] — penalty contact on face
+    `bid` adds kappa * (M x M x e_N e_N^T) to the tangent, which is
+    Kronecker-separable: fold kappa/alpha into the face-normal
+    component's 1D stiffness as a boundary spring (clamped B-spline
+    bases are interpolatory at the ends, so the 1D end function is the
+    e_N unit).  Without this, FDM-preconditioned GMRES stalls on
+    contact-stiff tangents (penalty ~1e7-1e11 vs moduli ~1e6).
     """
     lam_e = float(material.lambda_)
     mu_e = float(material.mu)
@@ -97,11 +105,29 @@ def build_fdm_data(fes, dir_pairs, material):
         )
         mats.append((M, K))
 
+    alpha0 = np.full((fes.dim, d), mu_e)
+    for c in range(min(fes.dim, d)):
+        alpha0[c, c] = lam_e + 2.0 * mu_e
+    # contact boundary springs on the face-normal component
+    springs = {}  # (comp, axis) -> [(end_index, k_over_alpha)]
+    for bid, penalty in contact_springs or []:
+        if bid not in side_of_bid:
+            return None
+        axis, end = side_of_bid[bid]
+        idx = 0 if end == 0 else nc[axis] - 1
+        springs.setdefault((axis, axis), []).append(
+            (idx, float(penalty) / alpha0[axis, axis])
+        )
+
     Ve = [[None] * d for _ in range(fes.dim)]
     lam = [[None] * d for _ in range(fes.dim)]
     for c in range(fes.dim):
         for ax in range(d):
             M, K = mats[ax]
+            if (c, ax) in springs:
+                K = K.copy()
+                for idx, k_oa in springs[(c, ax)]:
+                    K[idx, idx] += k_oa
             free = np.array(
                 [
                     i
@@ -117,9 +143,7 @@ def build_fdm_data(fes, dir_pairs, material):
             Ve[c][ax] = emb
             lam[c][ax] = w
 
-    alpha = np.full((fes.dim, d), mu_e)
-    for c in range(min(fes.dim, d)):
-        alpha[c, c] = lam_e + 2.0 * mu_e
+    alpha = alpha0
     return {
         "Ve": Ve,
         "lam": lam,

@@ -84,9 +84,10 @@ class _System:
             bc = solid.boundary_condition = BoundaryConditions()
         rc = solid._rc()
         self.rc = rc
-        patch, topo = solid._patch, solid._topo
 
-        fes = self.fes = FESpace(patch, topo)
+        # single-patch FESpace or MultiPatchFESpace — identical assembly
+        # surface (domain/boundary tables, side_dofs, masks, perms)
+        fes = self.fes = solid._build_fespace()
         dim = self.dim = fes.dim
         dtype = config.dtype()
 
@@ -95,6 +96,10 @@ class _System:
         # on the reduced dof set.
         self.periodic = bool(bc.initial.periodic_boundaries_)
         if self.periodic:
+            if solid._multipatch:
+                raise NotImplementedError(
+                    "periodic boundaries on multi-patch meshes"
+                )
             red_index, n_red, masters = build_periodic_map(
                 fes, bc.initial.periodic_boundaries_
             )
@@ -157,7 +162,8 @@ class _System:
         # ---- mass (+ viscosity) ----
         assert material.density > 0.0
         # MFEM VectorMassIntegrator default order: 2p + dim*p - 1
-        p_max = max(patch.degrees)
+        p_max = max(fes.degrees if hasattr(fes, "degrees")
+                    else fes.patch.degrees)
         mass_tables = fes.domain_tables(2 * p_max + dim * p_max - 1)
         mass_tables.conn = red_index[mass_tables.conn]
         mass_blocks = K.scalar_blocks_mass(mass_tables, material.density)

@@ -26,25 +26,76 @@ class Solid:
         # populated by NonlinearSolid.setup()
         self._system = None
         self._views = {}
+        # multi-patch state: refinement is recorded and applied when the
+        # MultiPatchFESpace is built (setup or a count query)
+        self._n_elevate = 0
+        self._n_subdivide = 0
+        self._mp_space = None
 
     # ----------------- mesh management -----------------
     def read_mesh(self, fname: str) -> None:
+        """Load any MFEM NURBS mesh — single- or multi-patch (parity:
+        PySolid::ReadMesh rejects only non-NURBS meshes,
+        py_solid.cpp:70-95)."""
         self._mesh = read_mfem_nurbs_mesh(fname)
-        self._patch, self._topo, _ = build_patch_from_mesh(self._mesh)
+        self._n_elevate = 0
+        self._n_subdivide = 0
+        self._mp_space = None
+        if len(self._mesh.elements) > 1:
+            self._patch = None
+            self._topo = None
+        else:
+            self._patch, self._topo, _ = build_patch_from_mesh(self._mesh)
+
+    @property
+    def _multipatch(self) -> bool:
+        return self._mesh is not None and len(self._mesh.elements) > 1
+
+    def _build_fespace(self):
+        """The FE space the system assembles over (also used by the
+        count queries): single-patch FESpace or MultiPatchFESpace."""
+        if self._multipatch:
+            if self._mp_space is None:
+                from ..fem.multipatch import MultiPatchFESpace
+
+                self._mp_space = MultiPatchFESpace(
+                    self._mesh,
+                    elevate=self._n_elevate,
+                    subdivide=self._n_subdivide,
+                )
+            return self._mp_space
+        from ..fem.space import FESpace
+
+        return FESpace(self._require_mesh(), self._topo)
 
     def save_mesh(self, fname: str) -> None:
+        if self._multipatch:
+            raise NotImplementedError(
+                "save_mesh on multi-patch meshes is not implemented"
+            )
         perm = self.dof_map_lex_to_mfem()
         write_mfem_nurbs_mesh(fname, self._mesh, perm, self._patch)
 
     def _require_mesh(self):
         if self._patch is None:
+            if self._multipatch:
+                raise RuntimeError(
+                    "operation requires a single-patch mesh"
+                )
             raise RuntimeError("Mesh not set.")
         return self._patch
 
     def mesh_dim(self) -> int:
+        if self._multipatch:
+            return self._mesh.dimension
         return self._require_mesh().dim
 
     def mesh_degrees(self) -> list[int]:
+        if self._multipatch:
+            return [
+                p + self._n_elevate
+                for p in self._mesh.knot_degrees[: self._mesh.dimension]
+            ]
         return list(self._require_mesh().degrees)
 
     def n_vertices(self) -> int:
@@ -60,20 +111,37 @@ class Solid:
         return self._counts()[3]
 
     def _counts(self):
+        if self._multipatch:
+            return self._build_fespace().counts()
         p = self._require_mesh()
         return PatchTopology.counts(p.n_spans(), p.n_ctrl())
 
     def elevate_degrees(self, degrees: int, max_degrees: int = 50) -> None:
-        if degrees > 0:
-            self._require_mesh().elevate_degrees(degrees, max_degrees)
+        if degrees <= 0:
+            return
+        if self._multipatch:
+            self._n_elevate += degrees
+            self._mp_space = None
+            return
+        self._require_mesh().elevate_degrees(degrees, max_degrees)
 
     def subdivide(self, n_subdivision: int) -> None:
-        for _ in range(max(0, n_subdivision)):
+        if n_subdivision <= 0:
+            return
+        if self._multipatch:
+            self._n_subdivide += n_subdivision
+            self._mp_space = None
+            return
+        for _ in range(n_subdivision):
             self._require_mesh().uniform_refine()
 
     # ----------------- dof maps / nurbs export -----------------
     def dof_map_lex_to_mfem(self) -> np.ndarray:
-        """perm[lex] = mfem dof id for the *current* (refined) patch."""
+        """perm[lex] = mfem dof id for the *current* (refined) patch.
+        The multi-patch numbering is built in MFEM order directly, so
+        its permutation is the identity."""
+        if self._multipatch:
+            return np.arange(self._build_fespace().n_dof)
         return self._topo.lex_to_mfem(self._patch.n_ctrl())
 
     def dof_map(self, fe_space: str = "displacement") -> np.ndarray:
@@ -82,12 +150,27 @@ class Solid:
         boundaries are connected."""
         if self._system is not None:
             return self._system.dof_map()
+        if self._multipatch:
+            return np.arange(self._build_fespace().n_dof, dtype=int)
         n = self._patch.n_ctrl_total()
         return np.arange(n, dtype=int)
 
     def nurbs(self) -> dict:
         """Degrees / knot vectors / control points / weights in MFEM dof
-        order (parity: py_solid.cpp:237-293)."""
+        order (parity: py_solid.cpp:237-293 — on multi-patch meshes the
+        reference likewise returns the first `dim` knot vectors plus
+        ALL mesh nodes/weights)."""
+        if self._multipatch:
+            fes = self._build_fespace()
+            p0 = fes.patches[0]
+            return {
+                "degrees": list(p0.degrees),
+                "knot_vectors": [
+                    list(map(float, kv)) for kv in p0.knot_vectors
+                ],
+                "control_points": fes.x_ref.copy(),
+                "weights": fes.weights.copy(),
+            }
         p = self._require_mesh()
         perm = self.dof_map_lex_to_mfem()
         n = p.n_ctrl_total()

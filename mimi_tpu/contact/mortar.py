@@ -60,8 +60,42 @@ def make_contact_fns(dim: int, n_local: int, batched_query):
         N = cd["N"]
         qpts = jnp.einsum("eqn,end->eqd", N, cur)
         n_mb, n_q, _ = qpts.shape
-        res = batched_query(qpts.reshape(-1, dim), scene_data)
-        true_g = res["normal_gap"].reshape(n_mb, n_q)
+        qflat = qpts.reshape(-1, dim)
+        # The closest-point query runs on a STOPPED copy of the
+        # quadrature points, and the normal gap is reconstructed below
+        # from the stopped foot point/normal and the LIVE qpts.  The
+        # value is identical (same formula the query uses internally);
+        # the derivative is the envelope-theorem consistent tangent:
+        # at a converged foot point  d(gap) = n . d(qpt)  exactly —
+        # the foot-point motion is tangential (n . d1 = 0) and dn is
+        # orthogonal to the gap vector, so differentiating through the
+        # projection iteration is provably unnecessary.  This is what
+        # makes jvp-based consistent contact tangents
+        # (sharding.make_step(contact_tangent="consistent")) cost no
+        # more than a primal pressure pass.
+        res = batched_query(jax.lax.stop_gradient(qflat), scene_data)
+        # projection-convergence observability (the reference's splinepy
+        # proximity reports `convergence`, nearest_distance.hpp:139-193):
+        # count of foot points still moving at the iteration cap, and the
+        # largest gradient norm among them (0 when all converged)
+        if "converged" in res:
+            unconv = ~res["converged"]
+            qdiag = {
+                "proj_unconverged": jnp.sum(unconv),
+                "proj_res_max": jnp.max(
+                    jnp.where(unconv, res["grad_norm"], 0.0)
+                ),
+            }
+        else:
+            qdiag = {
+                "proj_unconverged": jnp.zeros((), jnp.int32),
+                "proj_res_max": jnp.zeros((), u.dtype),
+            }
+        nrm_q = res["normal"]  # (n, dim), stopped
+        phys_q = res["physical"]  # stopped
+        true_g = (
+            -jnp.sum(nrm_q * (phys_q - qflat), axis=1)
+        ).reshape(n_mb, n_q)
         dist = res["distance"].reshape(n_mb, n_q)
         g = jnp.minimum(true_g, 0.0)
         # angle gate (mortar_contact.cpp:158-189)
@@ -85,7 +119,7 @@ def make_contact_fns(dim: int, n_local: int, batched_query):
             area > 0.0, gap / jnp.where(area > 0.0, area, 1.0), 0.0
         ) * penalty
         total_area = jnp.sum(fac)
-        return pressure, total_area
+        return pressure, total_area, qdiag
 
     def elem_residual(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sign):
         cur = u_el + x_ref_e
@@ -188,7 +222,9 @@ class MortarContactBlock:
 
     # jit-composable: full residual contribution (n_dof, dim)
     def add_residual(self, u, n_dof, scene_data, penalty):
-        pressure, area = self.pressure_pass(u, scene_data, penalty)
+        pressure, area, qdiag = self.pressure_pass(
+            u, scene_data, penalty
+        )
         res_el, force, pint = self.residual_pass(u, pressure)
         res = (
             jnp.zeros((n_dof, self.dim), u.dtype)
@@ -201,11 +237,14 @@ class MortarContactBlock:
             "pressure": pint,
             "nodal_pressure": pressure,
             "residual": res,
+            **qdiag,
         }
         return res, aux
 
     def add_residual_and_blocks(self, u, n_dof, scene_data, penalty):
-        pressure, area = self.pressure_pass(u, scene_data, penalty)
+        pressure, area, qdiag = self.pressure_pass(
+            u, scene_data, penalty
+        )
         res_el, blocks, force, pint = self.residual_grad_pass(u, pressure)
         res = (
             jnp.zeros((n_dof, self.dim), u.dtype)
@@ -218,6 +257,7 @@ class MortarContactBlock:
             "pressure": pint,
             "nodal_pressure": pressure,
             "residual": res,
+            **qdiag,
         }
         return res, blocks, aux
 

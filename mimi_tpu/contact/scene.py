@@ -147,11 +147,267 @@ class NearestDistanceToSplines(NearestDistance):
 
             return query_one
 
+    # ---------- SoA (batch-last) projection: the fast path ----------
+    def _make_query_soa_one(self, s, max_iter=30):
+        """Plane-arithmetic closest-point projection for one spline.
+
+        The round-2 implementation vmapped a per-point damped Newton
+        over queries: every intermediate was (para_dim,)- or
+        (p+1,)-sized and got (8,128)-tile padded ~100x by XLA-TPU —
+        the 48^3 contact press spent ~30 s/step in this pass.  Here
+        the batch of n query points IS the minor (lane) dim: the
+        parameters are a (para_dim, n) array, basis functions are
+        (n,) planes (splines._basis_planes), derivatives come from
+        jax.jvp with plane seeds, and the damped Newton runs inside a
+        lax.while_loop that exits as soon as EVERY point has stopped
+        moving (the argmin-seeded iteration converges in ~5
+        iterations, vs the old fixed fori(30)).
+
+        Returns query(q_t (dim, n), cps, samples, sample_pts) ->
+        dict of batch-last planes incl. per-point `converged` and
+        `grad_norm` diagnostics (the reference's splinepy proximity
+        reports `convergence`, nearest_distance.hpp:139-193).
+        """
+        ev = s.make_eval_planes()
+        lo_np, hi_np = s.parametric_bounds()
+        pd = s.para_dim
+        dim = s.dim
+        scale = float(np.max(hi_np - lo_np))
+        # 2^-k damping ladder (parity with the round-2 ladder's range)
+        alphas = [1.0, 0.5, 0.25, 0.125, 1.0 / 32.0, 1.0 / 128.0]
+
+        def query(q_t, cps, samples, sample_pts):
+            n = q_t.shape[1]
+            dtype = q_t.dtype
+            cps_t = cps.T  # (dim_h, n_cp)
+            samples_t = samples.T.astype(dtype)  # (pd, S)
+            sample_pts_t = sample_pts.T.astype(dtype)  # (dim, S)
+            lo = jnp.asarray(lo_np, dtype)[:, None]
+            hi = jnp.asarray(hi_np, dtype)[:, None]
+            eps = float(jnp.finfo(dtype).eps)
+            tol_u = 100.0 * eps * scale
+            tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+            # ---- seed: running argmin over sample chunks (never
+            # materializes the full (S, n) distance matrix) ----
+            S = sample_pts_t.shape[1]
+            CH = min(128, S)
+            S_pad = -(-S // CH) * CH
+
+            def padS(a):
+                if S_pad == S:
+                    return a
+                return jnp.concatenate(
+                    [a, jnp.repeat(a[:, :1], S_pad - S, axis=1)], axis=1
+                )
+
+            sp_ch = jnp.moveaxis(
+                padS(sample_pts_t).reshape(dim, S_pad // CH, CH), 1, 0
+            )  # (n_chunks, dim, CH)
+            sa_ch = jnp.moveaxis(
+                padS(samples_t).reshape(pd, S_pad // CH, CH), 1, 0
+            )
+
+            def seed_chunk(carry, sl):
+                best_d2, best_u = carry
+                pts, prm = sl
+                d2 = sum(
+                    (pts[c][:, None] - q_t[c][None, :]) ** 2
+                    for c in range(dim)
+                )  # (CH, n)
+                idx = jnp.argmin(d2, axis=0)  # (n,)
+                dmin = jnp.min(d2, axis=0)
+                take = dmin < best_d2
+                best_u = jnp.where(take[None, :], prm[:, idx], best_u)
+                best_d2 = jnp.where(take, dmin, best_d2)
+                return (best_d2, best_u), None
+
+            big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+            (_, u0), _ = jax.lax.scan(
+                seed_chunk,
+                (jnp.full((n,), big, dtype), jnp.zeros((pd, n), dtype)),
+                (sp_ch, sa_ch),
+            )
+
+            # ---- plane-arithmetic damped Newton ----
+            def f_of(uu):
+                return ev(uu, cps_t)  # (pd, n) -> (dim, n)
+
+            def obj(uu):
+                d_ = f_of(uu) - q_t
+                return 0.5 * sum(d_[c] * d_[c] for c in range(dim))
+
+            seeds = [
+                jnp.zeros((pd, n), dtype).at[k].set(1.0)
+                for k in range(pd)
+            ]
+
+            def first_ders(uu):
+                return [
+                    jax.jvp(f_of, (uu,), (seeds[k],))[1]
+                    for k in range(pd)
+                ]  # pd x (dim, n)
+
+            def grad_hess(uu):
+                S_pt = f_of(uu)
+                diff = S_pt - q_t
+                d1 = first_ders(uu)
+                d2 = [[None] * pd for _ in range(pd)]
+                for k in range(pd):
+                    def dk(uu, k=k):
+                        return jax.jvp(f_of, (uu,), (seeds[k],))[1]
+
+                    for l in range(k, pd):
+                        t2 = jax.jvp(dk, (uu,), (seeds[l],))[1]
+                        d2[k][l] = t2
+                        d2[l][k] = t2
+                g = [
+                    sum(d1[k][c] * diff[c] for c in range(dim))
+                    for k in range(pd)
+                ]
+                H = [
+                    [
+                        sum(
+                            d1[k][c] * d1[l][c] + diff[c] * d2[k][l][c]
+                            for c in range(dim)
+                        )
+                        for l in range(pd)
+                    ]
+                    for k in range(pd)
+                ]
+                return g, H
+
+            def newton_dir(g, H):
+                # regularized solve, para_dim 1 or 2 (closed form)
+                reg = 1e-14
+                if pd == 1:
+                    h = H[0][0] + reg
+                    h = jnp.where(jnp.abs(h) > tiny, h, tiny)
+                    return [g[0] / h]
+                h00 = H[0][0] + reg
+                h11 = H[1][1] + reg
+                h01 = H[0][1]
+                det = h00 * h11 - h01 * h01
+                det = jnp.where(
+                    jnp.abs(det) > tiny,
+                    det,
+                    jnp.where(det < 0, -tiny, tiny),
+                )
+                du0 = (h11 * g[0] - h01 * g[1]) / det
+                du1 = (h00 * g[1] - h01 * g[0]) / det
+                return [du0, du1]
+
+            def body(c):
+                u = c["u"]
+                act = c["active"]
+                fval = obj(u)
+                g, H = grad_hess(u)
+                du = jnp.stack(newton_dir(g, H))  # (pd, n)
+                found = jnp.zeros((n,), bool)
+                u_best = u
+                for alpha in alphas:
+                    u_try = jnp.clip(u - alpha * du, lo, hi)
+                    f_try = obj(u_try)
+                    take = (~found) & (f_try <= fval)
+                    u_best = jnp.where(take[None, :], u_try, u_best)
+                    found = found | take
+                moved = jnp.max(jnp.abs(u_best - u), axis=0)
+                gn = jnp.sqrt(sum(gi * gi for gi in g))
+                # freeze points the moment they stop moving: a point's
+                # result must not depend on how long the slowest point
+                # keeps the global loop alive (device-count/padding
+                # invariance — extra refinements of already-converged
+                # points would otherwise shift with the batch content)
+                return {
+                    "u": jnp.where(act[None, :], u_best, u),
+                    "active": act & (moved > tol_u),
+                    "gn": jnp.where(act, gn, c["gn"]),
+                    "it": c["it"] + 1,
+                }
+
+            def cond(c):
+                return jnp.any(c["active"]) & (c["it"] < max_iter)
+
+            fin = jax.lax.while_loop(
+                cond,
+                body,
+                {
+                    "u": u0,
+                    "active": jnp.ones((n,), bool),
+                    "gn": jnp.full((n,), big, dtype),
+                    "it": jnp.int32(0),
+                },
+            )
+            u = fin["u"]
+
+            # ---- final geometry (normal convention:
+            # nearest_distance.hpp:139-184) ----
+            phys = f_of(u)
+            d1 = first_ders(u)
+            pmq = phys - q_t
+            dist = jnp.sqrt(sum(pmq[c] * pmq[c] for c in range(dim)))
+            if dim == 2:
+                t0 = d1[0]  # (2, n)
+                nrm = jnp.stack([t0[1], -t0[0]])
+            else:
+                a, b = d1[0], d1[1]
+                nrm = jnp.stack(
+                    [
+                        a[1] * b[2] - a[2] * b[1],
+                        a[2] * b[0] - a[0] * b[2],
+                        a[0] * b[1] - a[1] * b[0],
+                    ]
+                )
+            nlen = jnp.sqrt(sum(nrm[c] * nrm[c] for c in range(dim)))
+            nrm = nrm / jnp.maximum(nlen, tiny)
+            normal_gap = -sum(nrm[c] * pmq[c] for c in range(dim))
+            return {
+                "parametric": u.T,
+                "physical": phys.T,
+                "distance": dist,
+                "normal": nrm.T,
+                "normal_gap": normal_gap,
+                "converged": ~fin["active"],
+                "grad_norm": fin["gn"],
+            }
+
+        return query
+
     def make_batched_query(self):
         """Vectorized closest-point query over all scene splines: each
         query point takes the minimum-distance result (generalizes the
         reference, which asserts a single spline per scene,
-        nearest_distance.hpp:263)."""
+        nearest_distance.hpp:263).  Runs the batch-last SoA projection
+        (`_make_query_soa_one`)."""
+        queries = [self._make_query_soa_one(s) for s in self.splines]
+
+        def batched(qpts, data):
+            q_t = qpts.T  # (dim, n)
+            results = [
+                qo(q_t, d["cps"], d["samples"], d["sample_pts"])
+                for qo, d in zip(queries, data)
+            ]
+            if len(results) == 1:
+                return results[0]
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs, axis=0), *results
+            )
+            best = jnp.argmin(stacked["distance"], axis=0)  # (n_q,)
+            take = lambda arr: jnp.take_along_axis(
+                arr,
+                best.reshape(
+                    (1, -1) + (1,) * (arr.ndim - 2)
+                ),
+                axis=0,
+            )[0]
+            return jax.tree.map(take, stacked)
+
+        return batched
+
+    def make_batched_query_pointwise(self):
+        """Round-2 per-point vmapped projection, kept as the
+        independent implementation the SoA path is verified against
+        (tests/test_contact_projection.py).  ~100x slower on TPU."""
         fns = self._get_fns()
         queries = fns["queries"]
 

@@ -305,6 +305,68 @@ class MultiPatchFESpace:
         ]
         self.max_bdr_attr = max(s[0] for s in self.sides)
 
+        # session-surface parity with the single-patch FESpace: the
+        # global numbering built above IS the MFEM NURBS dof order
+        # (vertices by id, edge/face interiors in file order, patch
+        # interiors last), so the lex<->mfem permutation is the
+        # identity and solution views/goldens line up without a map.
+        self.degrees = list(self.patches[0].degrees)
+        self.perm_lex_to_mfem = np.arange(self.n_dof)
+        self.inv_perm = np.arange(self.n_dof)
+
+    # ---------- mesh-count queries (PySolid parity) ----------
+    def counts(self):
+        """(n_vertices, n_elements, n_boundary_elements, n_subelements)
+        of the refined multi-patch mesh: control points are shared on
+        conforming interfaces, and interface subelement faces/edges are
+        counted once (MFEM mesh-query semantics, py_solid.hpp:132-158)."""
+        from ..nurbs.topology import PatchTopology
+
+        n_vertices = self.n_dof
+        n_elements = 0
+        n_sub = 0
+        per_patch_sides = {}
+        for p, patch in enumerate(self.patches):
+            spans = patch.n_spans()
+            _, n_el_p, _, n_sub_p = PatchTopology.counts(
+                spans, patch.n_ctrl()
+            )
+            n_elements += n_el_p
+            n_sub += n_sub_p
+            # collect this patch's side keys (corner vertex-id sets)
+            verts = self.topo.mesh.elements[p][2]
+            corners = self.topo._corners
+            dim = self.dim
+            for axis in range(dim):
+                for end in (0, 1):
+                    vids = frozenset(
+                        verts[l]
+                        for l, offs in enumerate(corners)
+                        if offs[axis] == end
+                    )
+                    # span count of the side's tangent grid
+                    t_spans = [
+                        spans[d_] for d_ in range(dim) if d_ != axis
+                    ]
+                    face_spans = int(np.prod(t_spans))
+                    per_patch_sides.setdefault(vids, []).append(
+                        face_spans
+                    )
+        # interfaces appear as the same vertex-id set on two patches:
+        # their subelement faces were counted twice in the per-patch
+        # totals (2D: n_sub counts all grid edges; 3D: all grid faces)
+        for vids, occurrences in per_patch_sides.items():
+            if len(occurrences) == 2:
+                n_sub -= occurrences[0]
+        n_bdr = 0
+        for attr, p, axis, end, _sign in self._bsides:
+            spans = self.patches[p].n_spans()
+            t_spans = [
+                spans[d_] for d_ in range(self.dim) if d_ != axis
+            ]
+            n_bdr += int(np.prod(t_spans))
+        return n_vertices, n_elements, n_bdr, n_sub
+
     def _gflat(self, p):
         return (
             self.grids[p]

@@ -31,32 +31,6 @@ def stack2(rows):
     return jnp.stack([jnp.stack(r, 0) for r in rows], 0)
 
 
-def eye(d, like, scale=1.0):
-    """Identity broadcastable against `like`'s batch dims.
-
-    Returns shape (d, d) + (1,)*batch_ndim so arithmetic broadcasts
-    without materializing a full (d, d, *batch) of constants.  Built
-    from iota comparisons rather than jnp.eye().reshape(): the reshape
-    that appends minor singleton dims is an unsupported shape cast in
-    Mosaic, and this module's code runs inside Pallas kernels
-    (ops/sweeps.py) as well as under XLA.
-    """
-    # stacked full-batch planes: Mosaic crashes on degenerate
-    # (d, d, 1, 1) vectors AND on iota/where-built constants whose
-    # zero slices fold into rank-degenerate vectors under AD; stacked
-    # jnp.full planes survive, and under XLA they fuse away
-    plane = tuple(like.shape[2:])
-    return stack2(
-        [
-            [
-                jnp.full(plane, scale if i == j else 0.0, like.dtype)
-                for j in range(d)
-            ]
-            for i in range(d)
-        ]
-    )
-
-
 def transpose(A):
     return jnp.swapaxes(A, 0, 1)
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .hardening import Hardening  # noqa: F401
-from .logm import expm_sym, logm_sym
+from .logm import expm_sym, logm_sym, expm_sym_soa, logm_sym_soa
 from .scalar_solve import make_scalar_solver
 from .tensor import dev, elastic_strain, fro_norm, det_small, inv_small
 from ..fem import soa
@@ -631,6 +631,54 @@ class J2Log(_J2ThermoBase):
         p, s, q, delta, active, exp_inc = self._return_map(F, state, dt)
         new = dict(state)
         new["Fp_inv"] = state["Fp_inv"] @ exp_inc
+        new["eqps"] = state["eqps"] + delta
+        if self.hardening.is_temperature_dependent():
+            new["temperature"] = state["temperature"] + jnp.where(
+                active,
+                self.heat_fraction
+                * q
+                * delta
+                / (self.density * self.specific_heat),
+                0.0,
+            )
+        return new
+
+    # SoA fast path (round-3): the eigh-based Hencky strain has no
+    # batch-last formulation, so log/exp come from the smooth
+    # Denman-Beavers + Gregory / scaling-squaring iterations
+    # (materials/logm.py `logm_sym_soa`/`expm_sym_soa`), which
+    # differentiate cleanly under the compiled core's jax.linearize —
+    # no eigen-degeneracy custom JVPs needed.
+    has_soa = True
+
+    def _return_map_soa(self, F, state, dt):
+        F_e = soa.matmul(F, state["Fp_inv"])
+        C_e = soa.matmul_tn(F_e, F_e)
+        E_e = 0.5 * logm_sym_soa(C_e)
+        p = self.K * soa.trace(E_e)
+        s = soa.dev(E_e, 2.0 * self.G)
+        q = jnp.sqrt(1.5) * soa.fro_norm(s)
+        thermo = self.hardening.thermo_contribution(state["temperature"])
+        delta, active = self._solve_delta_eqps(
+            q, state["eqps"], thermo, dt, 3.0 * self.G
+        )
+        N_p = (1.5 / jnp.where(q > 0.0, q, 1.0)) * s
+        s = s - 2.0 * self.G * delta * N_p
+        return p, s, q, delta, active, N_p
+
+    def pk1_soa(self, F, state, dt):
+        p, s, q, delta, active, N_p = self._return_map_soa(F, state, dt)
+        J = soa.det(F)
+        M = soa.add_diag(s, p / J)
+        return J * soa.matmul_nt(M, soa.inv(F))
+
+    def accumulate_soa(self, F, state, dt):
+        p, s, q, delta, active, N_p = self._return_map_soa(F, state, dt)
+        # delta == 0 (hence N_p-increment == 0) on inactive points, so
+        # expm(0) == I exactly replaces the eigh path's active mask
+        exp_inc = expm_sym_soa(-delta * N_p)
+        new = dict(state)
+        new["Fp_inv"] = soa.matmul(state["Fp_inv"], exp_inc)
         new["eqps"] = state["eqps"] + delta
         if self.hardening.is_temperature_dependent():
             new["temperature"] = state["temperature"] + jnp.where(

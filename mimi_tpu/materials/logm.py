@@ -49,3 +49,76 @@ def _make_sym_fun(f, fprime):
 
 logm_sym = _make_sym_fun(jnp.log, lambda x: 1.0 / x)
 expm_sym = _make_sym_fun(jnp.exp, jnp.exp)
+
+
+# ---------------------------------------------------------------------
+# SoA (batch-last) variants: (d, d, *batch) tensors with the quadrature
+# batch in the minor/tiled dims (fem/soa.py layout).  eigh has no
+# batch-last implementation, so log/exp are built from smooth
+# matmul/inverse iterations instead — Denman-Beavers square roots +
+# Gregory series for log, scaling-and-squaring Taylor for exp.  Being
+# smooth compositions they differentiate cleanly under jax.linearize
+# (no custom JVP / eigen-degeneracy handling needed), which is exactly
+# what the eigh-based path required custom JVPs for.
+#
+# Domain: SPD C with moderate conditioning (elastic left/right
+# Cauchy-Green tensors — elastic stretches of metals stay near 1 even
+# under large plastic flow).  The trace prescaling + 2 inverse square
+# roots keep the Gregory argument's spectral radius < 0.15 for
+# cond(C) <= 16, giving ~1e-15 series truncation error.
+# ---------------------------------------------------------------------
+
+from ..fem import soa  # noqa: E402  (cycle-free: fem.soa imports jnp only)
+
+
+def _sqrt_db_soa(A, iters=7):
+    """Denman-Beavers square root of SPD A (batch-last planes).
+    Quadratically convergent for any SPD input; 7 iterations reach
+    f64 roundoff for eigenvalues within [0.05, 20]."""
+    d = A.shape[0]
+    Y = A
+    Z = soa.add_diag(A * 0.0, 1.0)
+    for _ in range(iters):
+        Y_inv = soa.inv(Y)
+        Z_inv = soa.inv(Z)
+        Y = 0.5 * (Y + Z_inv)
+        Z = 0.5 * (Z + Y_inv)
+    return Y
+
+
+def logm_sym_soa(C, sqrt_levels=2, gregory_terms=8, db_iters=7):
+    """log of SPD C in the SoA layout: trace prescaling, `sqrt_levels`
+    Denman-Beavers square roots, then the Gregory (atanh) series
+        log(A) = 2 sum_k X^(2k+1)/(2k+1),  X = (A - I)(A + I)^{-1}.
+    """
+    d = C.shape[0]
+    s = soa.trace(C) / d  # (batch) mean eigenvalue
+    A = C / s
+    for _ in range(sqrt_levels):
+        A = _sqrt_db_soa(A, iters=db_iters)
+    X = soa.matmul(
+        soa.add_diag(A, -1.0), soa.inv(soa.add_diag(A, 1.0))
+    )
+    X2 = soa.matmul(X, X)
+    term = X
+    acc = X
+    for k in range(1, gregory_terms):
+        term = soa.matmul(term, X2)
+        acc = acc + term / (2 * k + 1)
+    logA = (2.0 ** (sqrt_levels + 1)) * acc
+    return soa.add_diag(logA, jnp.log(s))
+
+
+def expm_sym_soa(A, squarings=3, taylor_terms=8):
+    """exp of symmetric A (SoA layout) by scaling-and-squaring with a
+    Taylor core; accurate to roundoff for ||A|| <~ 1 (the exponential-
+    map plastic increments it serves satisfy ||delta N_p|| << 1)."""
+    B = A / (2.0 ** squarings)
+    acc = soa.add_diag(B * 0.0, 1.0)
+    term = acc
+    for k in range(1, taylor_terms + 1):
+        term = soa.matmul(term, B) / k
+        acc = acc + term
+    for _ in range(squarings):
+        acc = soa.matmul(acc, acc)
+    return acc

@@ -154,11 +154,21 @@ def build_problem(
         if refine_spans is not None:
             patch.refine_to(refine_spans)
         fes = FESpace(patch, topo)
-        grid = {
-            "spans": list(patch.n_spans()),
-            "nc": list(patch.n_ctrl()),
-            "pp1": [p_ + 1 for p_ in patch.degrees],
-        }
+        # the slice-based structured gather/scatter assumes the 1D dof
+        # window of element s starts at s (starts == arange), which holds
+        # iff every interior knot is simple: n_ctrl = n_span + p per axis.
+        # A repeated interior knot makes the slice map silently disagree
+        # with the conn-based gather — leave grid=None there.
+        _nc = list(patch.n_ctrl())
+        _sp = list(patch.n_spans())
+        if all(
+            _nc[k] == _sp[k] + patch.degrees[k] for k in range(len(_nc))
+        ):
+            grid = {
+                "spans": _sp,
+                "nc": _nc,
+                "pp1": [p_ + 1 for p_ in patch.degrees],
+            }
     dim = fes.dim
     n_dof = fes.n_dof
     material.setup(dim)
@@ -273,7 +283,14 @@ def build_problem(
                 (bid, scene.coefficient) for bid, scene in (contact or [])
             ],
         )
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — fall back to block-Jacobi,
+        # but loudly: a silent None here masked real regressions before
+        from ..utils.log import print_warning
+
+        print_warning(
+            f"FDM preconditioner disabled ({type(e).__name__}: {e}); "
+            "iterative solves fall back to block-Jacobi"
+        )
         fdm = None
 
     # domain tables stay HOST-side numpy on the Problem: make_step
@@ -463,6 +480,8 @@ def initial_carry(prob: Problem, dt: float = 1.0):
                 "force": jnp.zeros((prob.dim,), dtype),
                 "area": jnp.zeros((), dtype),
                 "pressure": jnp.zeros((), dtype),
+                "proj_unconverged": jnp.zeros((), jnp.int32),
+                "proj_res_max": jnp.zeros((), dtype),
             }
             for _ in prob.contact
         ],
@@ -542,7 +561,7 @@ def _explicit_accel(prob: Problem, u, v, state, dt):
             E_u = E_u.at[conn].add(ve)
         for cd, fns in zip(d["contact"], contact_fns):
             pp, rp, _ = fns
-            pressure, _ = pp(u, cd, cd["scene"], cd["penalty"])
+            pressure, _, _ = pp(u, cd, cd["scene"], cd["penalty"])
             res_c, _, _ = rp(u, cd, pressure)
             E_u = E_u.at[cd["conn"]].add(res_c)
         z = (d["rhs"] - E_u) * free
@@ -594,6 +613,7 @@ def make_step(
     lin_rel_tol: float | None = None,
     lin_abs_tol: float | None = None,
     precond: str = "auto",
+    contact_tangent: str = "frozen",
 ):
     """Fully jitted generalized-alpha step: carry -> carry.
 
@@ -612,6 +632,19 @@ def make_step(
     Dirichlet rows, and mortar contact (pressure pass inside every
     residual evaluation; frozen-pressure consistent tangent, exactly the
     reference's per-element FD linearization, mortar_contact.cpp:263-295).
+
+    `contact_tangent` selects the contact linearization:
+      - "frozen" (default, reference parity): pass-2 differentiated at
+        frozen nodal pressure — Newton converges LINEARLY on engaged
+        contact (~100 iterations on a stiff press, can stall).
+      - "consistent" (iterative solvers only): the J matvec applies the
+        EXACT contact jacobian as a jvp of the full two-pass residual —
+        quadratic Newton, typically <10 iterations on the same press.
+        Exactness rests on the envelope-theorem gap derivative in
+        contact/mortar.py (d gap = n . d qpt at a converged foot
+        point), so the jvp never differentiates the projection loop.
+        Beyond the reference's capability (FD through the kd-tree query
+        is impractical in C++; here it is one linearize).
 
     `residual_impl` selects the assembly engine:
       - "auto" (default): the SoA batch-last engine ("soa") when the
@@ -663,6 +696,16 @@ def make_step(
     has_cv = prob.cv_mask is not None
     contact_fns = _contact_fns_for(prob)
     has_contact = bool(contact_fns)
+
+    if contact_tangent not in ("frozen", "consistent"):
+        raise ValueError(f"unknown contact_tangent {contact_tangent!r}")
+    consistent_ct = contact_tangent == "consistent" and has_contact
+    if consistent_ct and not iterative:
+        raise ValueError(
+            "contact_tangent='consistent' needs an iterative solver "
+            "(the exact contact jacobian is matrix-free; the dense path "
+            "assembles frozen-pressure element blocks)"
+        )
 
     mat_has_soa = getattr(mat, "has_soa", False) or not mat.has_state
     if residual_impl == "auto":
@@ -885,7 +928,7 @@ def make_step(
             incl. closest-point queries + traction assembly)."""
             out = jnp.zeros((n_dof, dim), u_cur.dtype)
             for cd, (pp, rp, _) in zip(cdata, contact_fns):
-                pressure, _ = pp(u_cur, cd, cd["scene"], cd["penalty"])
+                pressure, _, _ = pp(u_cur, cd, cd["scene"], cd["penalty"])
                 res_el, _, _ = rp(u_cur, cd, pressure)
                 out = out.at[cd["conn"]].add(res_el)
             return out
@@ -896,7 +939,7 @@ def make_step(
             out = jnp.zeros((n_dof, dim), u_cur.dtype)
             blocks_l, aux_l = [], []
             for cd, (pp, _, rgp) in zip(cdata, contact_fns):
-                pressure, area = pp(u_cur, cd, cd["scene"], cd["penalty"])
+                pressure, area, qdiag = pp(u_cur, cd, cd["scene"], cd["penalty"])
                 res_el, blocks, force, pint = rgp(u_cur, cd, pressure)
                 out = out.at[cd["conn"]].add(res_el)
                 blocks_l.append(blocks)
@@ -904,6 +947,32 @@ def make_step(
                     {"force": force, "area": area, "pressure": pint}
                 )
             return out, blocks_l, aux_l
+
+        def contact_finish(r, ctx, u_eval):
+            """Shared assemble tail: add the contact residual and stash
+            the tangent context.  contact_tangent="consistent" records
+            the evaluation state for the solve's exact jvp (frozen
+            element blocks are then only built when the block-Jacobi
+            preconditioner needs node blocks)."""
+            if consistent_ct and precond != "bj":
+                r = r + contact_residual(u_eval)
+                ctx["c_ueval"] = u_eval
+                return r, ctx, None
+            rc_, blocks_l, _aux = contact_assemble(u_eval)
+            r = r + rc_
+            ctx["cblocks"] = blocks_l
+            if consistent_ct:
+                ctx["c_ueval"] = u_eval
+            return r, ctx, blocks_l
+
+        def make_contact_tan(ctx):
+            """The J-matvec contact term for the iterative solvers."""
+            if consistent_ct:
+                _, c_jvp = jax.linearize(
+                    contact_residual, ctx["c_ueval"]
+                )
+                return c_jvp
+            return lambda w: contact_block_apply(ctx["cblocks"], w)
 
         d2 = dim * dim
         n_el, n_q = prob.n_el, prob.n_q
@@ -1145,11 +1214,9 @@ def make_step(
                 # matvec kernel fuses mass + viscosity + fac0*C:dF.
                 def _ctx_finish(r, ctx, aa):
                     if has_contact:
-                        rc_, blocks_l, aux_l = contact_assemble(
-                            xa + fac0 * aa
+                        r, ctx, blocks_l = contact_finish(
+                            r, ctx, xa + fac0 * aa
                         )
-                        r = r + rc_
-                        ctx["cblocks"] = blocks_l
                         if precond == "bj":
                             nb = d["bj_nblocks"] + fac0 * (
                                 contact_node_blocks(blocks_l)
@@ -1175,6 +1242,7 @@ def make_step(
 
                 def solve_fn(ctx, r):
                     Ck = ctx["Ck"]
+                    c_tan = make_contact_tan(ctx) if has_contact else None
 
                     def J_apply(w_flat):
                         w = w_flat.reshape(n_dof, dim) * free
@@ -1183,9 +1251,7 @@ def make_step(
                         )
                         y = scatter_el(y_t)
                         if has_contact:
-                            y = y + fac0 * contact_block_apply(
-                                ctx["cblocks"], w
-                            )
+                            y = y + fac0 * c_tan(w)
                         return (
                             y * free
                             + w_flat.reshape(n_dof, dim) * (1 - free)
@@ -1238,11 +1304,9 @@ def make_step(
                     r = scatter_qp(P_eff, vecm)
                     ctx = {"C": C}
                     if has_contact:
-                        rc_, blocks_l, aux_l = contact_assemble(
-                            xa + fac0 * aa
+                        r, ctx, blocks_l = contact_finish(
+                            r, ctx, xa + fac0 * aa
                         )
-                        r = r + rc_
-                        ctx["cblocks"] = blocks_l
                         if precond == "bj":
                             nb = d["bj_nblocks"] + fac0 * (
                                 contact_node_blocks(blocks_l)
@@ -1257,6 +1321,7 @@ def make_step(
 
                 def solve_fn(ctx, r):
                     C = ctx["C"]
+                    c_tan = make_contact_tan(ctx) if has_contact else None
 
                     def J_apply(w_flat):
                         w = w_flat.reshape(n_dof, dim) * free
@@ -1284,9 +1349,7 @@ def make_step(
                         vec = rho_s * value_interp(w_t)
                         y = scatter_qp(dP, vec)
                         if has_contact:
-                            y = y + fac0 * contact_block_apply(
-                                ctx["cblocks"], w
-                            )
+                            y = y + fac0 * c_tan(w)
                         return (
                             y * free
                             + w_flat.reshape(n_dof, dim) * (1 - free)
@@ -1329,6 +1392,8 @@ def make_step(
                         )
                         r = r + rc_
                         ctx["cblocks"] = blocks_l
+                        if consistent_ct:
+                            ctx["c_ueval"] = xa + fac0 * aa
                     r = (r - rhs) * free
                     # block-Jacobi (dim x dim per control point):
                     # M + fac1 S + fac0 (K + Kc) node-diagonal blocks —
@@ -1363,6 +1428,7 @@ def make_step(
 
                 def solve_fn(ctx, r):
                     Ct = ctx["Ct"]
+                    c_tan = make_contact_tan(ctx) if has_contact else None
 
                     def K_apply(w):
                         w_el = w[conn]
@@ -1391,9 +1457,7 @@ def make_step(
                         if has_visc:
                             y = y + fac1 * visc_apply(w)
                         if has_contact:
-                            y = y + fac0 * contact_block_apply(
-                                ctx["cblocks"], w
-                            )
+                            y = y + fac0 * c_tan(w)
                         return (
                             y * free
                             + w_flat.reshape(n_dof, dim) * (1 - free)
@@ -1605,10 +1669,15 @@ def make_step(
         contact_aux = []
         if has_contact:
             for cd, (pp, rp, _) in zip(cdata, contact_fns):
-                pressure, area = pp(xa, cd, cd["scene"], cd["penalty"])
+                pressure, area, qdiag = pp(xa, cd, cd["scene"], cd["penalty"])
                 _, force, pint = rp(xa, cd, pressure)
                 contact_aux.append(
-                    {"force": force, "area": area, "pressure": pint}
+                    {
+                        "force": force,
+                        "area": area,
+                        "pressure": pint,
+                        **qdiag,
+                    }
                 )
         return {
             "u": u_new,

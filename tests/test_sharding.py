@@ -20,8 +20,8 @@ import os
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
 
-def _jc_mat():
-    mat = mimi.J2()
+def _jc_mat(cls=None):
+    mat = (cls or mimi.J2)()
     mat.density = 1
     mat.viscosity = -1
     mat.melting_temperature = 1500
@@ -81,6 +81,65 @@ def test_device_count_invariance_neohook():
     u1 = _run(_neo_mat(), 1)
     u8 = _run(_neo_mat(), 8)
     assert np.allclose(u1, u8, atol=1e-12)
+
+
+@pytest.mark.parametrize("cls_name", ["J2Simo", "J2Log"])
+def test_device_count_invariance_finite_strain_plasticity(cls_name):
+    """Completes the reference invariance-suite port over the finite-
+    strain plasticity models (/root/reference/tests/test_nthreads.py:
+    113-122's j2_simo/j2_log cases, device-count analog)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    cls = getattr(mimi, cls_name)
+    u1 = _run(_jc_mat(cls), 1)
+    u8 = _run(_jc_mat(cls), 8)
+    assert np.allclose(u1, u8, atol=1e-12), np.abs(u1 - u8).max()
+
+
+@pytest.mark.parametrize("cls_name", ["J2", "J2Log"])
+def test_compiled_vs_interactive_plasticity(cls_name):
+    """Compiled-core vs interactive-session consistency over materials
+    WITH state accumulation (5 steps, so PostTimeAdvance drift in either
+    of the duplicated operator implementations would compound and
+    surface; reference semantics nonlinear_solid.cpp:285-292)."""
+    cls = getattr(mimi, cls_name)
+    nl = _interactive(
+        "balken.mesh", 2, 1, _jc_mat(cls),
+        lambda bc: bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+        .body_force(1, -3.0),
+        n_steps=5, dt=0.5,
+    )
+    u_i = np.asarray(nl._system.u)
+    u_c = _run(_jc_mat(cls), 1, n_steps=5)
+    assert abs(u_c).max() > 1e-3
+    assert np.allclose(u_i, u_c, atol=1e-8), np.abs(u_i - u_c).max()
+
+
+def test_compiled_j2log_soa_matches_dense():
+    """J2Log's round-3 SoA fast path (Denman-Beavers/Gregory Hencky
+    strain, materials/logm.py) against the eigh-based xla engine
+    through full compiled steps including state accumulation."""
+    def run(residual_impl, solver):
+        prob = sh.build_problem(
+            os.path.join(DATA, "balken.mesh"), 2, 1, _jc_mat(mimi.J2Log),
+            [(2, 0), (2, 1)], {1: -3.0}, rho_inf=0.5,
+        )
+        step = sh.make_step(
+            prob, 0.5, newton_iters=5, solver=solver,
+            residual_impl=residual_impl,
+        )
+        carry = sh.initial_carry(prob)
+        for _ in range(5):
+            carry = step(carry)
+        return np.asarray(carry["u"])
+
+    u_x = run("xla", "dense")
+    u_s = run("soa", "iterative")
+    assert abs(u_x).max() > 1e-3
+    # dense-LU vs FDM-GMRES solver-path difference dominates; the
+    # Hencky-strain formulations agree far tighter (see
+    # tests/test_materials or the 1e-12 pk1 parity probe)
+    assert np.allclose(u_x, u_s, atol=1e-7), np.abs(u_x - u_s).max()
 
 
 def test_compiled_vs_interactive_consistency():
@@ -237,13 +296,15 @@ def _press_problem(pad_multiple=1):
     return prob, scene, tool
 
 
-def _run_press_compiled(n_devices, n_steps=4, solver="dense"):
+def _run_press_compiled(n_devices, n_steps=4, solver="dense",
+                        newton_iters=60, **step_kw):
     prob, scene, tool = _press_problem(pad_multiple=n_devices)
     if n_devices > 1:
         mesh = Mesh(np.array(jax.devices()[:n_devices]), ("e",))
         prob = sh.shard_problem(prob, mesh)
-    step = sh.make_step(prob, 0.01, newton_iters=60, solver=solver,
-                        rel_tol=1e-10, abs_tol=1e-8)
+    step = sh.make_step(prob, 0.01, newton_iters=newton_iters,
+                        solver=solver, rel_tol=1e-10, abs_tol=1e-8,
+                        **step_kw)
     carry = sh.initial_carry(prob)
     push = 0.005 * np.array([1.0, 2.0]) / np.sqrt(5.0)
     for _ in range(n_steps):
@@ -300,29 +361,134 @@ def test_compiled_contact_vs_interactive():
 
 
 def test_compiled_contact_device_invariance():
-    """6 steps so the tool (0.02 offset, 0.005/step) is truly engaged —
-    the sharded contact scatter path must agree with single-device."""
+    """4 steps so the tool (0.02 offset, 0.005/step) is truly engaged —
+    the sharded contact scatter path must agree with single-device.
+
+    Newton must actually CONVERGE here (newton_iters=150; the
+    frozen-pressure tangent converges linearly, ~96 iterations on the
+    engagement step): an unconverged best-iterate return amplifies the
+    psum-ordering ulps between the 1- and 8-device programs chaotically
+    (round-3 finding — the round-2 1e-10 pass relied on bitwise
+    determinism, not on convergence)."""
     if len(jax.devices()) < 8:
         pytest.skip("not enough devices")
-    c1 = _run_press_compiled(1, n_steps=6)
-    c8 = _run_press_compiled(8, n_steps=6)
+    c1 = _run_press_compiled(1, n_steps=4, newton_iters=150)
+    c8 = _run_press_compiled(8, n_steps=4, newton_iters=150)
+    assert bool(c1["newton"]["converged"]) and bool(
+        c8["newton"]["converged"]
+    )
     u1, u8 = np.asarray(c1["u"]), np.asarray(c8["u"])
     assert abs(u1).max() > 1e-3  # engaged
-    assert np.allclose(u1, u8, atol=1e-10), np.abs(u1 - u8).max()
+    assert np.allclose(u1, u8, atol=1e-9), np.abs(u1 - u8).max()
 
 
 def test_compiled_contact_iterative_matches_dense():
     """Block-Jacobi GMRES must handle the contact-stiff tangent
-    (VERDICT round-1 item 7): same trajectory as the dense LU path."""
-    ud = np.asarray(_run_press_compiled(1, n_steps=6, solver="dense")["u"])
+    (VERDICT round-1 item 7): same trajectory as the dense LU path.
+    Converged-Newton configuration (see the device-invariance note)."""
+    ud = np.asarray(
+        _run_press_compiled(
+            1, n_steps=4, solver="dense", newton_iters=150
+        )["u"]
+    )
     ug = np.asarray(
-        _run_press_compiled(1, n_steps=6, solver="iterative")["u"]
+        _run_press_compiled(
+            1, n_steps=4, solver="iterative", newton_iters=150
+        )["u"]
     )
     assert abs(ud).max() > 1e-3
-    # both solvers converge the linear solves to rel 1e-8; over 6 stiff
-    # contact steps the trajectories accumulate ~1e-7 of solver-path
-    # difference (|u| ~ 2e-2, so this is ~5e-6 relative)
+    # both solvers converge the linear solves to rel 1e-8; over the
+    # stiff contact steps the trajectories accumulate ~1e-8 of
+    # solver-path difference
     assert np.allclose(ud, ug, atol=2.5e-7), np.abs(ud - ug).max()
+
+
+def test_consistent_contact_tangent():
+    """contact_tangent='consistent' must (a) converge quadratically —
+    single-digit Newton iterations on a press step where the frozen-
+    pressure tangent needs ~100 — and (b) land on the same trajectory.
+    The exactness of the jvp rests on the envelope-theorem gap
+    derivative (contact/mortar.py pressure_pass)."""
+    cf = _run_press_compiled(
+        1, n_steps=4, solver="iterative", newton_iters=150,
+        contact_tangent="frozen",
+    )
+    cc = _run_press_compiled(
+        1, n_steps=4, solver="iterative", newton_iters=15,
+        contact_tangent="consistent",
+    )
+    assert bool(cf["newton"]["converged"])
+    assert bool(cc["newton"]["converged"])
+    # quadratic vs linear convergence on the engaged step
+    assert int(cc["newton"]["iters"]) <= 8
+    assert int(cf["newton"]["iters"]) >= 3 * int(cc["newton"]["iters"])
+    uf, uc = np.asarray(cf["u"]), np.asarray(cc["u"])
+    assert abs(uf).max() > 1e-3
+    assert np.allclose(uf, uc, atol=1e-8), np.abs(uf - uc).max()
+
+
+def test_reference_penalty_regime_iterative():
+    """The reference's nl_contact press runs at penalty 1e11 with
+    E=1e10 (/root/reference/examples/nl_contact.py:86); VERDICT r2 weak
+    #5: nothing exercised that regime on the iterative path.  Here the
+    same material/penalty/dt at test scale runs through FDM-GMRES with
+    the contact boundary spring (solvers/fdm.py) and the consistent
+    contact tangent, against dense-LU/frozen as the baseline."""
+    from mimi_tpu.splines import Bezier
+
+    def build():
+        # press-test geometry (rigid line 0.02 outside the attr-1 edge)
+        # with the REFERENCE nl_contact regime: density 7e4, E=1e10,
+        # penalty 1e11, dt 1e-3, 0.005/step push
+        mat = mimi.CompressibleOgdenNeoHookean()
+        mat.density = 7e4
+        mat.viscosity = -1.0
+        mat.set_young_poisson(1e10, 0.3)
+        tool = Bezier([1], [[-1.885, 2.464], [1.903, 0.570]])
+        scene = mimi.NearestDistanceToSplines()
+        scene.add_spline(tool)
+        scene.plant_kd_tree(500, 1)
+        scene.coefficient = 1e11
+        prob = sh.build_problem(
+            os.path.join(DATA, "square-nurbs.mesh"), 1, 2, mat,
+            [(0, 0), (0, 1)], {}, rho_inf=0.5,
+            contact=[(1, scene)],
+        )
+        assert prob.fdm is not None  # contact spring decomposition holds
+        return prob, scene, tool
+
+    push = 0.005 * np.array([1.0, 2.0]) / np.sqrt(5.0)
+
+    def run(**kw):
+        prob, scene, tool = build()
+        step = sh.make_step(prob, 1e-3, rel_tol=1e-10, abs_tol=1e-8, **kw)
+        carry = sh.initial_carry(prob)
+        for _ in range(8):
+            tool.cps[:] -= push
+            scene.plant_kd_tree(500, 1)
+            carry = step(carry, contact_scenes=[scene.scene_data()])
+        return carry
+
+    cd = run(solver="dense", newton_iters=200)
+    ci = run(
+        solver="iterative", newton_iters=30,
+        contact_tangent="consistent", precond="fdm", cg_iters=150,
+    )
+    assert bool(cd["newton"]["converged"]), float(cd["newton"]["norm"])
+    assert bool(ci["newton"]["converged"]), float(ci["newton"]["norm"])
+    ud, ui = np.asarray(cd["u"]), np.asarray(ci["u"])
+    assert abs(ud).max() > 1e-4  # engaged
+    # 1e11-stiff tangents: GMRES at rel 1e-8 with the FDM contact
+    # spring must track the direct solve
+    assert np.allclose(ud, ui, atol=5e-6), np.abs(ud - ui).max()
+
+
+def test_consistent_tangent_guardrail():
+    prob, _, _ = _press_problem()
+    with pytest.raises(ValueError, match="iterative"):
+        sh.make_step(
+            prob, 0.01, solver="dense", contact_tangent="consistent"
+        )
 
 
 def test_compiled_newton_diagnostics():

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.lax import Precision as _Prec
 import numpy as np
 
 
@@ -58,7 +59,7 @@ def make_contact_fns(dim: int, n_local: int, batched_query):
     def pressure_pass(u, cd, scene_data, penalty):
         cur = u[cd["conn"]] + cd["x_ref_el"]  # (n_mb, nd, dim)
         N = cd["N"]
-        qpts = jnp.einsum("eqn,end->eqd", N, cur)
+        qpts = jnp.einsum("eqn,end->eqd", N, cur, precision=_Prec.HIGHEST)
         n_mb, n_q, _ = qpts.shape
         qflat = qpts.reshape(-1, dim)
         # The closest-point query runs on a STOPPED copy of the
@@ -105,11 +106,11 @@ def make_contact_fns(dim: int, n_local: int, batched_query):
         )
         g = jnp.where(jnp.arccos(ratio) > 1.0e-5, 0.0, g)
 
-        J = jnp.einsum("end,eqnk->eqdk", cur, cd["dN"])
+        J = jnp.einsum("end,eqnk->eqdk", cur, cd["dN"], precision=_Prec.HIGHEST)
         det = jax.vmap(jax.vmap(_det_surf))(J)
         fac = cd["wq"] * det
-        area_el = jnp.einsum("eq,eqn->en", fac, N)
-        gap_el = jnp.einsum("eq,eqn->en", fac * g, N)
+        area_el = jnp.einsum("eq,eqn->en", fac, N, precision=_Prec.HIGHEST)
+        gap_el = jnp.einsum("eq,eqn->en", fac * g, N, precision=_Prec.HIGHEST)
         ldof = cd["ldof"]
         area = jnp.zeros(n_local, u.dtype).at[ldof].add(area_el)
         gap = jnp.zeros(n_local, u.dtype).at[ldof].add(gap_el)
@@ -123,13 +124,13 @@ def make_contact_fns(dim: int, n_local: int, batched_query):
 
     def elem_residual(u_el, x_ref_e, N_e, dN_e, wq_e, p_el, n_sign):
         cur = u_el + x_ref_e
-        p_q = jnp.einsum("qn,n->q", N_e, p_el)
-        J = jnp.einsum("nd,qnk->qdk", cur, dN_e)
+        p_q = jnp.einsum("qn,n->q", N_e, p_el, precision=_Prec.HIGHEST)
+        J = jnp.einsum("nd,qnk->qdk", cur, dN_e, precision=_Prec.HIGHEST)
         det = jax.vmap(_det_surf)(J)
         nrm = n_sign * jax.vmap(_unit_normal_from_J)(J)
         fac = wq_e * det * p_q
-        res = -jnp.einsum("q,qn,qd->nd", fac, N_e, nrm)
-        force = jnp.einsum("q,qd->d", fac, nrm)
+        res = -jnp.einsum("q,qn,qd->nd", fac, N_e, nrm, precision=_Prec.HIGHEST)
+        force = jnp.einsum("q,qd->d", fac, nrm, precision=_Prec.HIGHEST)
         return res, (force, jnp.sum(fac))
 
     def residual_pass(u, cd, pressure):
@@ -265,7 +266,7 @@ class MortarContactBlock:
         """sqrt(sum of squared negative gaps) over all quad points
         (mortar_contact.cpp:423-467)."""
         cur = u[self.conn_j] + self.x_ref_el
-        qpts = jnp.einsum("eqn,end->eqd", self.N, cur)
+        qpts = jnp.einsum("eqn,end->eqd", self.N, cur, precision=_Prec.HIGHEST)
         res = self._batched_query(
             qpts.reshape(-1, self.dim), scene_data
         )

@@ -179,7 +179,7 @@ class NearestDistanceToSplines(NearestDistance):
         def query(q_t, cps, samples, sample_pts):
             n = q_t.shape[1]
             dtype = q_t.dtype
-            cps_t = cps.T  # (dim_h, n_cp)
+            cps_t = cps.T.astype(dtype)  # (dim_h, n_cp)
             samples_t = samples.T.astype(dtype)  # (pd, S)
             sample_pts_t = sample_pts.T.astype(dtype)  # (dim, S)
             lo = jnp.asarray(lo_np, dtype)[:, None]
@@ -372,6 +372,38 @@ class NearestDistanceToSplines(NearestDistance):
             }
 
         return query
+
+    @staticmethod
+    def translate_scene_data(scene_data, delta):
+        """Rigid-translate a scene-data pytree ON DEVICE: returns new
+        scene data with every spline's control points and sampled seed
+        points shifted by `delta` (length dim).  For sweep drivers that
+        move a rigid tool every step, this replaces re-uploading
+        `scene_data()` from host (measured ~120 ms/step through the
+        remote-device tunnel) with two tiny fused device adds.
+        Parametric seed `samples` are translation-invariant.  Rational
+        scenes store homogeneous cps (x*w, w): shifting x by delta
+        means adding delta*w to the weighted coords."""
+        d = jnp.asarray(delta)
+        dim = d.shape[0]
+        out = []
+        for sd in scene_data:
+            cps = sd["cps"]
+            if cps.shape[1] == dim:  # non-rational
+                cps = cps + d[None, :]
+            else:  # homogeneous (x*w, w)
+                w = cps[:, -1:]
+                cps = jnp.concatenate(
+                    [cps[:, :-1] + d[None, :] * w, w], axis=1
+                )
+            out.append(
+                {
+                    "cps": cps,
+                    "samples": sd["samples"],
+                    "sample_pts": sd["sample_pts"] + d[None, :],
+                }
+            )
+        return out
 
     def make_batched_query(self):
         """Vectorized closest-point query over all scene splines: each

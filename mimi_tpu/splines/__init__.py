@@ -56,7 +56,9 @@ def _basis_planes(kv: np.ndarray, p: int, u):
     vmapped `_basis_static` would produce.  Differentiable in u (span
     is piecewise constant; jvp flows through left/right only).
     """
-    kvj = jnp.asarray(kv)
+    kvj = jnp.asarray(kv, dtype=u.dtype)  # match the query dtype: a
+    # float64 knot table would silently promote every plane (and break
+    # f32 while_loop carries under jax_enable_x64)
     n_fn = len(kv) - p - 1
     span = jnp.clip(
         jnp.searchsorted(kvj, u, side="right") - 1, p, n_fn - 1

@@ -13,7 +13,7 @@ closest-point projection pass (vmapped per-point damped Newton on
 for the planned SoA treatment).  Kept as the measurement harness for
 that work.
 
-Usage:  python scripts/bench_contact_scale.py [spans] [precond]
+Usage:  python scripts/bench_contact_scale.py [spans] [precond] [tangent]
 """
 
 import os
@@ -40,6 +40,7 @@ from mimi_tpu.parallel import sharding as sh
 def main():
     spans = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     precond = sys.argv[2] if len(sys.argv) > 2 else "fdm"
+    tangent = sys.argv[3] if len(sys.argv) > 3 else "consistent"
 
     mat = mimi.J2()
     mat.density = 1e3
@@ -94,21 +95,26 @@ def main():
         cg_iters=80,
         residual_impl="pallas",
         precond=precond,
+        contact_tangent=tangent,
+        rel_tol=1e-3,
     )
     carry = sh.initial_carry(prob)
     t0 = time.perf_counter()
-    tool.cps[:, 2] -= 0.01
-    scene.plant_kd_tree(spans, 1)
-    carry = step(carry, contact_scenes=[scene.scene_data()])
+    # device-side rigid-tool sweep (see scene.translate_scene_data)
+    push = jnp.asarray([0.0, 0.0, -0.01], jnp.float32)
+    sd = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32), scene.scene_data()
+    )
+    sd = mimi.NearestDistanceToSplines.translate_scene_data(sd, push)
+    carry = step(carry, contact_scenes=[sd])
     carry["u"].block_until_ready()
     print(f"compile+1st: {time.perf_counter() - t0:.0f}s", flush=True)
     t0 = time.perf_counter()
     n = 4
     for _ in range(n):
-        tool.cps[:, 2] -= 0.01
-        scene.plant_kd_tree(spans, 1)
-        carry = step(carry, contact_scenes=[scene.scene_data()])
-    carry["u"].block_until_ready()
+        sd = mimi.NearestDistanceToSplines.translate_scene_data(sd, push)
+        carry = step(carry, contact_scenes=[sd])
+    float(carry["u"].sum())
     per = (time.perf_counter() - t0) / n
     cb = carry["contact"][0]
     nd = carry["newton"]

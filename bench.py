@@ -153,10 +153,16 @@ def _bench_contact(spans, n_steps, impl):
     from mimi_tpu.parallel import sharding as sh
 
     prob, scene, tool = _build_contact(spans)
+    # bf16 matvec streaming + 1e-2 inexact-Newton forcing: measured
+    # r3 on one v5e at 48^3 — 2.66 s/step vs 11.7 s (f32, 3e-6) vs
+    # ~31 s (round-2 pointwise projection); Newton still converges in
+    # 5 its at rel_tol 1e-3 (the forcing-term error is dominated by
+    # the f32 gap-cancellation floor)
     step = sh.make_step(
         prob, dt=0.01, newton_iters=8, solver="cg", cg_iters=60,
-        residual_impl=impl, precond="fdm", lin_rel_tol=1e-3,
+        residual_impl=impl, precond="fdm", lin_rel_tol=1e-2,
         contact_tangent="consistent", rel_tol=1e-3,
+        matvec_dtype="bf16" if impl == "pallas" else "f32",
     )
     carry = sh.initial_carry(prob)
     # compile + engage; the rigid-tool sweep updates the scene ON
@@ -183,6 +189,7 @@ def _bench_contact(spans, n_steps, impl):
         "contact_s_per_step": per,
         "contact_n_el": int(prob.n_el),
         "contact_newton_iters": int(nd["iters"]),
+        "contact_gmres_iters": int(nd["lin_iters"]),
         "contact_newton_converged": bool(nd["converged"]),
         "contact_force_z": float(carry["contact"][0]["force"][2]),
         "contact_proj_unconverged": int(

@@ -202,10 +202,15 @@ def make_residual_sweep(
 
 def make_assemble_sweep(
     mat, dt, dim, nd, n_q, n_el, rho, mu_v, has_visc, state,
-    block_e=None, interpret=False,
+    block_e=None, interpret=False, c_dtype=jnp.float32,
 ):
     """Residual + per-qp consistent tangent C[c*dim+d, g*dim+f](q, e) via
-    jax.linearize with one-hot seeds, fused in one pass."""
+    jax.linearize with one-hot seeds, fused in one pass.
+
+    c_dtype: storage dtype of the emitted tangent C.  bfloat16 halves
+    the dominant HBM stream of the GMRES matvec (C is read once per
+    Krylov iteration); the residual and all in-kernel arithmetic stay
+    float32."""
     import jax.tree_util as jtu
 
     block_e = block_e or pick_block_e(n_el)
@@ -262,7 +267,7 @@ def make_assemble_sweep(
                     for dd in range(dim):
                         c_ref[c * dim + dd, g * dim + f, :, :] = (
                             col[c, dd] - base[c, dd]
-                        )
+                        ).astype(c_dtype)
         P_eff = P
         if has_visc:
             P_eff = P + mu_v * _grad_interp(dim, nd, v_ref, dn_ref)
@@ -287,7 +292,7 @@ def make_assemble_sweep(
         out_specs=[el3, c_spec],
         out_shape=[
             jax.ShapeDtypeStruct((dim, nd, n_el), jnp.float32),
-            jax.ShapeDtypeStruct((d2, d2, n_q, n_el), jnp.float32),
+            jax.ShapeDtypeStruct((d2, d2, n_q, n_el), c_dtype),
         ],
         interpret=interpret,
         compiler_params=None

@@ -125,14 +125,18 @@ def build_problem(
     contact: list | None = None,  # [(bid, scene), ...]
     contact_quadrature_order: int = -1,
     refine_spans: int | list | None = None,  # exact span count per axis
+    periodic: dict | None = None,  # {bid0: bid1}, 0-based like dirichlet
 ) -> Problem:
     """Assemble the compiled-core problem description.
 
     Feature parity with PyNonlinearSolid::Setup
     (py_nonlinear_solid.cpp:15-387): mass, viscosity (material.viscosity
     > 0), body-force + traction right-hand side, static and
-    constant-velocity Dirichlet, mortar contact blocks.  Periodic
-    boundaries are interactive-session-only; request them there.
+    constant-velocity Dirichlet, mortar contact blocks, periodic
+    boundary dof identification (`NURBSExtension::ConnectBoundaries`
+    semantics, py_nonlinear_solid.cpp:34-75 — assembly scatters through
+    the reduced dof set, same machinery as the session's
+    fem.space.build_periodic_map).
     """
     mesh = read_mfem_nurbs_mesh(mesh_path)
     grid = None
@@ -171,7 +175,26 @@ def build_problem(
             }
     dim = fes.dim
     n_dof = fes.n_dof
+    red_index = masters = None
+    if periodic:
+        if len(mesh.elements) > 1:
+            raise NotImplementedError(
+                "periodic boundaries on multi-patch meshes"
+            )
+        from ..fem.space import build_periodic_map
+
+        red_index, n_dof, masters = build_periodic_map(
+            fes, {b0 + 1: b1 + 1 for b0, b1 in periodic.items()}
+        )
+        # the identified dof set breaks the tensor-product dof grid:
+        # the slice-based gather/scatter and the separable FDM
+        # surrogate are both invalid there
+        grid = None
     material.setup(dim)
+
+    def remap(dofs):
+        """Full scalar dof ids -> reduced (periodic) dof ids."""
+        return dofs if red_index is None else red_index[dofs]
 
     tables = fes.domain_tables(-1)
     # mass (+ viscosity) share the stiffness quadrature: one conn array
@@ -192,13 +215,17 @@ def build_problem(
         cv_mask = np.zeros((n_dof, dim))
         cv_vals = np.zeros((n_dof, dim))
         for bid, dim_vals in constant_velocity.items():
-            sd = fes.side_dofs(bid)
+            sd = remap(fes.side_dofs(bid))
             for d_, val in dim_vals.items():
                 dir_pairs.append((bid, d_))
                 cv_mask[sd, d_] = 1.0
                 cv_vals[sd, d_] = val
 
     zero_mask = fes.boundary_dof_mask(_merge_dirichlet(dir_pairs))
+    if red_index is not None:
+        zm_red = np.zeros((n_dof, dim), dtype=bool)
+        np.logical_or.at(zm_red, red_index, zero_mask)
+        zero_mask = zm_red
     free = (~zero_mask).astype(np.float64)
 
     rhs = np.zeros((n_dof, dim))
@@ -207,7 +234,7 @@ def build_problem(
             "eq,eqn->en", tables.w_detJ, tables.N, optimize=True
         )
         acc = np.zeros(n_dof)
-        np.add.at(acc, tables.conn, nodal)
+        np.add.at(acc, remap(tables.conn), nodal)
         for c, val in body_force.items():
             rhs[:, c] += acc * val
     if traction:
@@ -224,7 +251,7 @@ def build_problem(
                 optimize=True,
             )
             acc = np.zeros(n_dof)
-            np.add.at(acc, bt.conn[sel], nodal)
+            np.add.at(acc, remap(bt.conn[sel]), nodal)
             for c, val in dim_vals.items():
                 rhs[:, c] += acc * val
     if body_force or traction:
@@ -239,7 +266,7 @@ def build_problem(
         pad_shape = (n_pad,) + a.shape[1:]
         return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
 
-    conn = padel(tables.conn, 0)
+    conn = padel(remap(tables.conn), 0)
     dN_dX = padel(tables.dN_dX)
     w_detJ = padel(tables.w_detJ)
     N = padel(tables.N)
@@ -274,24 +301,30 @@ def build_problem(
     if state_soa:
         state0 = soa.state_to_soa(state0)
 
-    try:
-        fdm = build_fdm_data(
-            fes,
-            dir_pairs,
-            material,
-            contact_springs=[
-                (bid, scene.coefficient) for bid, scene in (contact or [])
-            ],
-        )
-    except Exception as e:  # noqa: BLE001 — fall back to block-Jacobi,
-        # but loudly: a silent None here masked real regressions before
-        from ..utils.log import print_warning
-
-        print_warning(
-            f"FDM preconditioner disabled ({type(e).__name__}: {e}); "
-            "iterative solves fall back to block-Jacobi"
-        )
+    if red_index is not None:
+        # no separable surrogate on the identified dof set
         fdm = None
+    else:
+        try:
+            fdm = build_fdm_data(
+                fes,
+                dir_pairs,
+                material,
+                contact_springs=[
+                    (bid, scene.coefficient)
+                    for bid, scene in (contact or [])
+                ],
+            )
+        except Exception as e:  # noqa: BLE001 — fall back to
+            # block-Jacobi, but loudly: a silent None here masked real
+            # regressions before
+            from ..utils.log import print_warning
+
+            print_warning(
+                f"FDM preconditioner disabled ({type(e).__name__}: {e});"
+                " iterative solves fall back to block-Jacobi"
+            )
+            fdm = None
 
     # domain tables stay HOST-side numpy on the Problem: make_step
     # device-puts only the layout the selected engine consumes (holding
@@ -309,7 +342,8 @@ def build_problem(
                 raise ValueError(
                     f"contact boundary {bid} marks no elements"
                 )
-            c_conn = bt.conn[marked]
+            c_full = bt.conn[marked]  # full dofs: reference coords
+            c_conn = remap(c_full)  # reduced dofs: u gather/scatter
             uniq = np.unique(c_conn)
             lookup = -np.ones(uniq.max() + 1, dtype=np.int64)
             lookup[uniq] = np.arange(len(uniq))
@@ -342,7 +376,7 @@ def build_problem(
                 "wq": dcast(padc(bt.wq[marked], zero=True)),
                 "nsign": dcast(padc(bt.normal_sign[marked])),
                 "ldof": jnp.asarray(padc(ldof)),
-                "x_ref_el": dcast(x_ref[padc(c_conn)]),
+                "x_ref_el": dcast(x_ref[padc(c_full)]),
                 "scene": jax.tree.map(
                     lambda a: jnp.asarray(a, dtype)
                     if jnp.asarray(a).dtype.kind == "f"
@@ -385,7 +419,9 @@ def build_problem(
         state_soa=state_soa,
         fdm=fdm,
         grid=grid,
-        x_ref=np.asarray(fes.x_ref),
+        x_ref=np.asarray(
+            fes.x_ref if masters is None else fes.x_ref[masters]
+        ),
     )
 
 
@@ -473,6 +509,7 @@ def initial_carry(prob: Problem, dt: float = 1.0):
             "norm0": jnp.zeros((), dtype),
             "norm": jnp.zeros((), dtype),
             "iters": jnp.zeros((), jnp.int32),
+            "lin_iters": jnp.zeros((), jnp.int32),
             "converged": jnp.asarray(True),
         },
         "contact": [
@@ -614,6 +651,7 @@ def make_step(
     lin_abs_tol: float | None = None,
     precond: str = "auto",
     contact_tangent: str = "frozen",
+    matvec_dtype: str = "f32",
 ):
     """Fully jitted generalized-alpha step: carry -> carry.
 
@@ -645,6 +683,16 @@ def make_step(
         point), so the jvp never differentiates the projection loop.
         Beyond the reference's capability (FD through the kd-tree query
         is impractical in C++; here it is one linearize).
+
+    `matvec_dtype` ("f32" default, "bf16"; pallas engine only) selects
+    the STORAGE dtype of the per-qp tangent C and of the dN/N tables
+    streamed by the GMRES matvec kernel — its two dominant HBM streams
+    (~41 KB/element/apply at p=2).  All arithmetic stays float32 (bf16
+    operands upcast on load), and the residual/assemble sweeps keep
+    float32 tables, so Newton residuals are unaffected: bf16 only
+    perturbs the Krylov operator by ~4e-3 relative, equivalent to a
+    slightly more inexact Newton forcing.  Use with lin_rel_tol >=
+    1e-3.
 
     `residual_impl` selects the assembly engine:
       - "auto" (default): the SoA batch-last engine ("soa") when the
@@ -727,6 +775,13 @@ def make_step(
         raise ValueError(
             "residual_impl='pallas' requires a float32 problem"
         )
+    if matvec_dtype not in ("f32", "bf16"):
+        raise ValueError(f"unknown matvec_dtype {matvec_dtype!r}")
+    if matvec_dtype == "bf16" and not use_pallas:
+        raise ValueError(
+            "matvec_dtype='bf16' is implemented for the pallas engine"
+        )
+    mv_bf16 = matvec_dtype == "bf16"
     if lin_rel_tol is None:
         lin_rel_tol = 1e-8 if prob.rhs.dtype == jnp.float64 else 3e-6
     if lin_abs_tol is None:
@@ -775,7 +830,9 @@ def make_step(
             **_sw_args, block_e=_sweeps.pick_block_e(prob.n_el, 128)
         )
         _asm_sweep = _sweeps.make_assemble_sweep(
-            **_sw_args, block_e=_sweeps.pick_block_e(prob.n_el, 128)
+            **_sw_args,
+            block_e=_sweeps.pick_block_e(prob.n_el, 128),
+            c_dtype=jnp.bfloat16 if mv_bf16 else jnp.float32,
         )
         _mv_sweep = _sweeps.make_matvec_sweep(
             dim=dim,
@@ -840,6 +897,12 @@ def make_step(
             # (nd, e) keeps the minor dims large (the (e, nd, dim)
             # scatter fused into a ~12 ms/GMRES-iteration monster at 32k)
             data["connT"] = dput(np.ascontiguousarray(prob.conn.T))
+        if use_pallas and mv_bf16:
+            # half-width copies of the matvec kernel's table streams
+            # (the kernel upcasts on load; f32 tables stay for the
+            # residual/assemble sweeps)
+            data["dN_mv"] = data["dN_t"].astype(jnp.bfloat16)
+            data["N_mv"] = data["N_t"].astype(jnp.bfloat16)
     if use_soa and precond == "bj":
         # static block-Jacobi: M + fac1 S + fac0 K_elastic per-node
         # (dim x dim) blocks.  The geometry is total-Lagrangian (dN/dX,
@@ -985,6 +1048,9 @@ def make_step(
             dN_t = d["dN_t"]  # (nd, dim, n_q, n_el)
             N_t = d["N_t"]  # (nd, n_q, n_el)
             wdet_t = d["wdet_t"]  # (n_q, n_el)
+            # matvec table streams (bf16 copies when matvec_dtype="bf16")
+            dN_mv = d.get("dN_mv", dN_t)
+            N_mv = d.get("N_mv", N_t)
             nd_s = int(prob.conn.shape[1])
             rho_s = mat.density
             mu_v = mat.viscosity if has_visc else 0.0
@@ -1247,7 +1313,7 @@ def make_step(
                     def J_apply(w_flat):
                         w = w_flat.reshape(n_dof, dim) * free
                         y_t = _mv_sweep(
-                            gather_t(w), dN_t, N_t, wdet_t, Ck
+                            gather_t(w), dN_mv, N_mv, wdet_t, Ck
                         )
                         y = scatter_el(y_t)
                         if has_contact:
@@ -1262,7 +1328,7 @@ def make_step(
                     else:
                         bj = ctx["bj_inv"]
                         M_apply = lambda v: block_jacobi_apply(bj, v)
-                    c = gmres(
+                    c, li = gmres(
                         J_apply,
                         r.reshape(-1),
                         M_apply=M_apply,
@@ -1270,8 +1336,9 @@ def make_step(
                         abs_tol=lin_abs_tol,
                         restart=30,
                         max_iter=cg_iters,
+                        return_info=True,
                     )
-                    return c.reshape(n_dof, dim)
+                    return c.reshape(n_dof, dim), li["iters"]
 
             elif use_soa:
                 # residual + material tangent via jax.linearize with 9
@@ -1360,7 +1427,7 @@ def make_step(
                     else:
                         bj = ctx["bj_inv"]
                         M_apply = lambda v: block_jacobi_apply(bj, v)
-                    c = gmres(
+                    c, li = gmres(
                         J_apply,
                         r.reshape(-1),
                         M_apply=M_apply,
@@ -1368,8 +1435,9 @@ def make_step(
                         abs_tol=lin_abs_tol,
                         restart=30,
                         max_iter=cg_iters,
+                        return_info=True,
                     )
-                    return c.reshape(n_dof, dim)
+                    return c.reshape(n_dof, dim), li["iters"]
 
             elif iterative:
                 m_diag = jnp.zeros(n_dof, rhs.dtype).at[conn].add(
@@ -1467,7 +1535,7 @@ def make_step(
                     # J2 tangent is nonsymmetric at plastic states)
                     # with the block-Jacobi preconditioner
                     bj = ctx["bj_inv"]
-                    c = gmres(
+                    c, li = gmres(
                         J_apply,
                         r.reshape(-1),
                         M_apply=lambda v: block_jacobi_apply(
@@ -1477,8 +1545,9 @@ def make_step(
                         abs_tol=lin_abs_tol,
                         restart=30,
                         max_iter=cg_iters,
+                        return_info=True,
                     )
-                    return c.reshape(n_dof, dim)
+                    return c.reshape(n_dof, dim), li["iters"]
 
             else:
 
@@ -1522,7 +1591,7 @@ def make_step(
                 def solve_fn(ctx, r):
                     return jnp.linalg.solve(
                         ctx["J"], r.reshape(-1)
-                    ).reshape(n_dof, dim)
+                    ).reshape(n_dof, dim), jnp.int32(0)
 
             def newton(aa0):
                 """lax.while_loop port of LineSearchNewton::Mult
@@ -1545,7 +1614,7 @@ def make_step(
 
                 def body(c):
                     aa, r, ctx = c["aa"], c["r"], c["ctx"]
-                    step_c = solve_fn(ctx, r)
+                    step_c, li = solve_fn(ctx, r)
                     q1 = c["norm"]
                     q3 = jnp.linalg.norm(res_fn(aa - step_c))
                     q2 = jnp.linalg.norm(res_fn(aa - 0.5 * step_c))
@@ -1580,6 +1649,7 @@ def make_step(
                             ((c["window"] << 1) | bit) & jnp.int32(31),
                         ),
                         "it": jnp.where(stop_ls, c["it"], c["it"] + 1),
+                        "lin_iters": c["lin_iters"] + li,
                         "stop": stop_ls,
                     }
 
@@ -1592,6 +1662,7 @@ def make_step(
                     "best_norm": inf,
                     "window": jnp.int32(31),
                     "it": jnp.int32(0),
+                    "lin_iters": jnp.int32(0),
                     "stop": jnp.asarray(False),
                 }
                 fin = jax.lax.while_loop(cond, body, init)
@@ -1609,6 +1680,7 @@ def make_step(
                         use_best, fin["best_norm"], fin["norm"]
                     ),
                     "iters": fin["it"],
+                    "lin_iters": fin["lin_iters"],
                     "converged": converged,
                 }
                 return aa_fin, diag

@@ -65,8 +65,13 @@ def gmres(
     abs_tol=1e-12,
     restart=30,
     max_iter=200,
+    return_info=False,
 ):
     """Left-preconditioned restarted GMRES, x0 = 0, fully jittable.
+
+    With return_info=True also returns {"iters", "res"} — the total
+    Arnoldi iterations actually run (early exit deducted) and the final
+    preconditioned residual norm.
 
     Unlike jax.scipy.sparse.linalg.gmres this does NOT go through
     lax.custom_linear_solve, so the operator is never transposed — it
@@ -166,21 +171,23 @@ def gmres(
         g_pad = jnp.where(idx < j_used, fin["g"][:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(R_pad, g_pad, lower=False)
         x = x + y @ fin["V"][:m]
-        return x, fin["res"]
+        return x, fin["res"], j_used
 
     def outer_cond(c):
-        x, res, k = c
+        x, res, k, it = c
         return (res > stop) & (k < max_cycles)
 
     def outer_body(c):
-        x, res, k = c
-        x, res = cycle(x)
-        return x, res, k + 1
+        x, res, k, it = c
+        x, res, j_used = cycle(x)
+        return x, res, k + 1, it + j_used
 
     x0 = jnp.zeros_like(b)
-    x, res, k = jax.lax.while_loop(
-        outer_cond, outer_body, (x0, norm_b, jnp.int32(0))
+    x, res, k, iters = jax.lax.while_loop(
+        outer_cond, outer_body, (x0, norm_b, jnp.int32(0), jnp.int32(0))
     )
+    if return_info:
+        return x, {"iters": iters, "res": res}
     return x
 
 

@@ -14,6 +14,7 @@ for the planned SoA treatment).  Kept as the measurement harness for
 that work.
 
 Usage:  python scripts/bench_contact_scale.py [spans] [precond] [tangent]
+            [lin_rel_tol] [matvec_dtype]
 """
 
 import os
@@ -41,6 +42,8 @@ def main():
     spans = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     precond = sys.argv[2] if len(sys.argv) > 2 else "fdm"
     tangent = sys.argv[3] if len(sys.argv) > 3 else "consistent"
+    lin_rel_tol = float(sys.argv[4]) if len(sys.argv) > 4 else None
+    matvec_dtype = sys.argv[5] if len(sys.argv) > 5 else "f32"
 
     mat = mimi.J2()
     mat.density = 1e3
@@ -97,6 +100,8 @@ def main():
         precond=precond,
         contact_tangent=tangent,
         rel_tol=1e-3,
+        lin_rel_tol=lin_rel_tol,
+        matvec_dtype=matvec_dtype,
     )
     carry = sh.initial_carry(prob)
     t0 = time.perf_counter()
@@ -120,6 +125,7 @@ def main():
     nd = carry["newton"]
     print(
         f"per-step: {per * 1e3:.0f} ms  newton {int(nd['iters'])} its "
+        f"gmres {int(nd['lin_iters'])} "
         f"norm {float(nd['norm']):.2e}/{float(nd['norm0']):.2e}"
     )
     print(

@@ -276,6 +276,68 @@ def test_compiled_constant_velocity_vs_interactive():
     assert np.allclose(u_i, u_c, atol=1e-8), np.abs(u_i - u_c).max()
 
 
+def test_compiled_periodic_vs_interactive():
+    """Periodic dof identification in the compiled core
+    (NURBSExtension::ConnectBoundaries semantics,
+    py_nonlinear_solid.cpp:34-75): assembly on the reduced dof set must
+    reproduce the interactive session's trajectory, and the connected
+    edges must carry identical displacements."""
+    nl = _interactive(
+        "balken.mesh", 1, 1, _neo_mat(),
+        lambda bc: bc.initial.dirichlet(0, 0).dirichlet(0, 1)
+        .body_force(1, -5).periodic(3, 4),
+        3, 0.05,
+    )
+    u_i = np.asarray(nl._system.u)
+
+    prob = sh.build_problem(
+        os.path.join(DATA, "balken.mesh"), 1, 1, _neo_mat(),
+        [(0, 0), (0, 1)], {1: -5.0}, rho_inf=0.5,
+        periodic={2: 3},
+    )
+    assert prob.n_dof == nl._system.n_dof
+    step = sh.make_step(prob, 0.05, newton_iters=20, solver="dense")
+    carry = sh.initial_carry(prob)
+    for _ in range(3):
+        carry = step(carry)
+    u_c = np.asarray(carry["u"])
+    assert abs(u_c[:, 1]).max() > 1e-6  # it moved
+    assert np.allclose(u_i, u_c, atol=1e-8), np.abs(u_i - u_c).max()
+    # connected edges share dofs in the full-space view
+    fes = nl._system.fes
+    u_full = u_c[nl._system.red_index]
+    assert np.allclose(
+        u_full[fes.side_dofs(2)], u_full[fes.side_dofs(3)]
+    )
+
+
+def test_compiled_periodic_iterative_matches_dense():
+    """The conn-based gather/scatter iterative path (grid/FDM are
+    disabled under periodic) agrees with the dense solve."""
+    def build():
+        return sh.build_problem(
+            os.path.join(DATA, "balken.mesh"), 1, 1, _neo_mat(),
+            [(0, 0), (0, 1)], {1: -5.0}, rho_inf=0.5,
+            periodic={2: 3}, dtype=jnp.float64,
+        )
+
+    prob_d = build()
+    assert prob_d.fdm is None and prob_d.grid is None
+    step_d = sh.make_step(prob_d, 0.05, newton_iters=20, solver="dense")
+    carry_d = sh.initial_carry(prob_d)
+    prob_i = build()
+    step_i = sh.make_step(
+        prob_i, 0.05, newton_iters=20, solver="cg", cg_iters=200
+    )
+    carry_i = sh.initial_carry(prob_i)
+    for _ in range(2):
+        carry_d = step_d(carry_d)
+        carry_i = step_i(carry_i)
+    assert np.allclose(
+        np.asarray(carry_d["u"]), np.asarray(carry_i["u"]), atol=1e-8
+    ), np.abs(np.asarray(carry_d["u"]) - np.asarray(carry_i["u"])).max()
+
+
 def _press_problem(pad_multiple=1):
     from mimi_tpu.splines import Bezier
 

@@ -158,8 +158,12 @@ def _bench_contact(spans, n_steps, impl):
     # ~31 s (round-2 pointwise projection); Newton still converges in
     # 5 its at rel_tol 1e-3 (the forcing-term error is dominated by
     # the f32 gap-cancellation floor)
+    # newton 12 / cg 80: the engagement press steps (tool first
+    # touching, fresh plasticization) need ~8-12 Newton its at rel
+    # 1e-3; post-engagement steps converge in ~5 and exit the
+    # while_loop early, so the budget only costs time where needed
     step = sh.make_step(
-        prob, dt=0.01, newton_iters=8, solver="cg", cg_iters=60,
+        prob, dt=0.01, newton_iters=12, solver="cg", cg_iters=80,
         residual_impl=impl, precond="fdm", lin_rel_tol=1e-2,
         contact_tangent="consistent", rel_tol=1e-3,
         matvec_dtype="bf16" if impl == "pallas" else "f32",
@@ -261,7 +265,7 @@ def main():
             extra.update(
                 _bench_contact(
                     spans if spans > 0 else 2**subdiv,
-                    int(os.environ.get("MIMI_BENCH_CONTACT_STEPS", "3")),
+                    int(os.environ.get("MIMI_BENCH_CONTACT_STEPS", "5")),
                     impl,
                 )
             )

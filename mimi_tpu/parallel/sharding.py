@@ -111,7 +111,7 @@ class Problem:
 
 
 def build_problem(
-    mesh_path: str,
+    mesh_path,  # str path, or an already-parsed mesh_io mesh object
     elevate: int,
     subdivide: int,
     material,
@@ -126,6 +126,9 @@ def build_problem(
     contact_quadrature_order: int = -1,
     refine_spans: int | list | None = None,  # exact span count per axis
     periodic: dict | None = None,  # {bid0: bid1}, 0-based like dirichlet
+    quadrature_order: int = -1,  # rc nonlinear_solid_quadrature_order
+    fes=None,  # reuse an existing (already-refined) FESpace /
+    # MultiPatchFESpace: elevate/subdivide/refine_spans are ignored
 ) -> Problem:
     """Assemble the compiled-core problem description.
 
@@ -138,26 +141,37 @@ def build_problem(
     the reduced dof set, same machinery as the session's
     fem.space.build_periodic_map).
     """
-    mesh = read_mfem_nurbs_mesh(mesh_path)
-    grid = None
-    if len(mesh.elements) > 1:
-        from ..fem.multipatch import MultiPatchFESpace
-
-        fes = MultiPatchFESpace(
-            mesh,
-            elevate=elevate,
-            subdivide=subdivide,
-            refine_spans=refine_spans,
+    multipatch = False
+    if fes is None:
+        mesh = (
+            read_mfem_nurbs_mesh(mesh_path)
+            if isinstance(mesh_path, str)
+            else mesh_path
         )
+        multipatch = len(mesh.elements) > 1
+        if multipatch:
+            from ..fem.multipatch import MultiPatchFESpace
+
+            fes = MultiPatchFESpace(
+                mesh,
+                elevate=elevate,
+                subdivide=subdivide,
+                refine_spans=refine_spans,
+            )
+        else:
+            patch, topo, _ = build_patch_from_mesh(mesh)
+            if elevate > 0:
+                patch.elevate_degrees(elevate)
+            for _ in range(subdivide):
+                patch.uniform_refine()
+            if refine_spans is not None:
+                patch.refine_to(refine_spans)
+            fes = FESpace(patch, topo)
     else:
-        patch, topo, _ = build_patch_from_mesh(mesh)
-        if elevate > 0:
-            patch.elevate_degrees(elevate)
-        for _ in range(subdivide):
-            patch.uniform_refine()
-        if refine_spans is not None:
-            patch.refine_to(refine_spans)
-        fes = FESpace(patch, topo)
+        multipatch = not hasattr(fes, "patch")
+    grid = None
+    if not multipatch:
+        patch = fes.patch
         # the slice-based structured gather/scatter assumes the 1D dof
         # window of element s starts at s (starts == arange), which holds
         # iff every interior knot is simple: n_ctrl = n_span + p per axis.
@@ -177,7 +191,7 @@ def build_problem(
     n_dof = fes.n_dof
     red_index = masters = None
     if periodic:
-        if len(mesh.elements) > 1:
+        if multipatch:
             raise NotImplementedError(
                 "periodic boundaries on multi-patch meshes"
             )
@@ -196,7 +210,7 @@ def build_problem(
         """Full scalar dof ids -> reduced (periodic) dof ids."""
         return dofs if red_index is None else red_index[dofs]
 
-    tables = fes.domain_tables(-1)
+    tables = fes.domain_tables(quadrature_order)
     # mass (+ viscosity) share the stiffness quadrature: one conn array
     # for sharding; exact for affine geometry (the 2p+3 rule
     # over-integrates the polynomial mass/diffusion integrands)
@@ -652,6 +666,7 @@ def make_step(
     precond: str = "auto",
     contact_tangent: str = "frozen",
     matvec_dtype: str = "f32",
+    gmres_restart: int = 30,
 ):
     """Fully jitted generalized-alpha step: carry -> carry.
 
@@ -693,6 +708,11 @@ def make_step(
     perturbs the Krylov operator by ~4e-3 relative, equivalent to a
     slightly more inexact Newton forcing.  Use with lin_rel_tol >=
     1e-3.
+
+    `gmres_restart` (default 30) is the Arnoldi restart length of the
+    iterative solves (clamped to cg_iters).  Larger restarts preserve
+    superlinear convergence on contact-stiff tangents at the cost of
+    O(restart) stored Krylov vectors.
 
     `residual_impl` selects the assembly engine:
       - "auto" (default): the SoA batch-last engine ("soa") when the
@@ -1334,7 +1354,7 @@ def make_step(
                         M_apply=M_apply,
                         rel_tol=lin_rel_tol,
                         abs_tol=lin_abs_tol,
-                        restart=30,
+                        restart=min(gmres_restart, cg_iters),
                         max_iter=cg_iters,
                         return_info=True,
                     )
@@ -1433,7 +1453,7 @@ def make_step(
                         M_apply=M_apply,
                         rel_tol=lin_rel_tol,
                         abs_tol=lin_abs_tol,
-                        restart=30,
+                        restart=min(gmres_restart, cg_iters),
                         max_iter=cg_iters,
                         return_info=True,
                     )
@@ -1543,7 +1563,7 @@ def make_step(
                         ),
                         rel_tol=lin_rel_tol,
                         abs_tol=lin_abs_tol,
-                        restart=30,
+                        restart=min(gmres_restart, cg_iters),
                         max_iter=cg_iters,
                         return_info=True,
                     )
@@ -1762,15 +1782,27 @@ def make_step(
 
     jitted = jax.jit(impl)
 
-    def step(carry, contact_scenes=None):
-        if contact_scenes is not None:
-            d = dict(data)
+    def step(carry, contact_scenes=None, rhs=None, penalties=None):
+        """One generalized-alpha step.  contact_scenes: fresh per-block
+        scene data (rigid-tool sweeps).  rhs: override of the
+        body-force/traction right-hand side (n_dof, dim) — the FSI /
+        linear-form-view steering hook (the reference writes through
+        LinearFormView2, py_solid.cpp:363-388).  penalties: per-block
+        contact penalty override (augmented-Lagrange outer loops mutate
+        scene.coefficient between steps)."""
+        if contact_scenes is None and rhs is None and penalties is None:
+            return jitted(carry, data)
+        d = dict(data)
+        if contact_scenes is not None or penalties is not None:
+            sc = contact_scenes or [cd["scene"] for cd in data["contact"]]
+            pe = penalties or [cd["penalty"] for cd in data["contact"]]
             d["contact"] = [
-                dict(cd, scene=s)
-                for cd, s in zip(data["contact"], contact_scenes)
+                dict(cd, scene=s, penalty=jnp.asarray(p, prob.rhs.dtype))
+                for cd, s, p in zip(data["contact"], sc, pe)
             ]
-            return jitted(carry, d)
-        return jitted(carry, data)
+        if rhs is not None:
+            d["rhs"] = jnp.asarray(rhs, prob.rhs.dtype)
+        return jitted(carry, d)
 
     return step
 

@@ -108,7 +108,14 @@ def build_fdm_data(fes, dir_pairs, material, contact_springs=None):
     alpha0 = np.full((fes.dim, d), mu_e)
     for c in range(min(fes.dim, d)):
         alpha0[c, c] = lam_e + 2.0 * mu_e
-    # contact boundary springs on the face-normal component
+    # contact boundary springs on the face-normal component.
+    # MIMI_TPU_FDM_SPRING_SCALE (default 1.0) is a tuning probe: the
+    # spring models the mortar tangent ~ kappa * (M_f (x) e e^T); the
+    # mortar double-averaging (M diag(1/A) M) softens oscillatory modes
+    # vs that model, so the best GMRES count may sit off 1.0.
+    import os
+
+    s_scale = float(os.environ.get("MIMI_TPU_FDM_SPRING_SCALE", "1.0"))
     springs = {}  # (comp, axis) -> [(end_index, k_over_alpha)]
     for bid, penalty in contact_springs or []:
         if bid not in side_of_bid:
@@ -116,7 +123,7 @@ def build_fdm_data(fes, dir_pairs, material, contact_springs=None):
         axis, end = side_of_bid[bid]
         idx = 0 if end == 0 else nc[axis] - 1
         springs.setdefault((axis, axis), []).append(
-            (idx, float(penalty) / alpha0[axis, axis])
+            (idx, s_scale * float(penalty) / alpha0[axis, axis])
         )
 
     Ve = [[None] * d for _ in range(fes.dim)]

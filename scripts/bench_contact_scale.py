@@ -44,6 +44,7 @@ def main():
     tangent = sys.argv[3] if len(sys.argv) > 3 else "consistent"
     lin_rel_tol = float(sys.argv[4]) if len(sys.argv) > 4 else None
     matvec_dtype = sys.argv[5] if len(sys.argv) > 5 else "f32"
+    restart = int(sys.argv[6]) if len(sys.argv) > 6 else 30
 
     mat = mimi.J2()
     mat.density = 1e3
@@ -102,6 +103,7 @@ def main():
         rel_tol=1e-3,
         lin_rel_tol=lin_rel_tol,
         matvec_dtype=matvec_dtype,
+        gmres_restart=restart,
     )
     carry = sh.initial_carry(prob)
     t0 = time.perf_counter()

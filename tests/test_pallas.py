@@ -110,8 +110,8 @@ def test_make_step_pallas_residual_matches_xla():
     with pytest.raises(ValueError):
         sh.make_step(prob, 0.05, residual_impl="pallas")  # dense default
 
-    # J2 plasticity runs through the generic kernels (state + in-kernel
-    # radial return); J2Log has no SoA fast path and must raise
+    # J2Linear plasticity runs through the generic kernels (state,
+    # closed-form radial return — no scalar solve)
     j2 = mimi.J2Linear()
     j2.density = 1
     j2.viscosity = -1
@@ -138,6 +138,57 @@ def test_make_step_pallas_residual_matches_xla():
     cj_s = step_j2s(c0)
     err = float(jnp.abs(cj_p["u"] - cj_s["u"]).max())
     assert err < 1e-5, err
+
+
+def test_make_step_pallas_j2_scalar_solve_interpret():
+    """The in-kernel J2 radial return (kernel_solver_mode fixed-trip
+    scalar solve + lax.cond plastic gating) vs the soa engine — the
+    J2Linear case above has no scalar solve, so this is the only CI
+    coverage of that kernel path (ADVICE r2).  Tiny: 8 elements, 2
+    steps, interpret mode."""
+    from mimi_tpu.parallel import sharding as sh
+
+    mat = mimi.J2()
+    mat.density = 1
+    mat.viscosity = -1
+    mat.melting_temperature = 1500
+    mat.initial_temperature = 20
+    mat.specific_heat = 450
+    mat.heat_fraction = 0.9
+    mat.set_young_poisson(2100, 0.3)
+    h = mimi.PowerLawHardening()
+    h.sigma_y, h.n, h.eps0 = 10.0, 2.0, 1e-3  # low yield: plastic flow
+    mat.hardening = h
+    prob = sh.build_problem(
+        os.path.join(DATA, "cube-nurbs.mesh"),
+        1,
+        1,
+        mat,
+        [(1, 0), (1, 1), (1, 2)],
+        {1: -5.0},
+        rho_inf=0.5,
+        dtype=jnp.float32,
+        pad_multiple=8,
+    )
+    outs = {}
+    for impl in ("pallas", "soa"):
+        step = sh.make_step(
+            prob, 0.05, newton_iters=3, solver="cg", cg_iters=40,
+            residual_impl=impl,
+        )
+        c = sh.initial_carry(prob, dt=0.05)
+        for _ in range(2):
+            c = step(c)
+        outs[impl] = c
+    err = float(
+        jnp.abs(outs["pallas"]["u"] - outs["soa"]["u"]).max()
+    )
+    assert err < 1e-5, err
+    # the run actually plasticized (the cond path was taken)
+    eqps = outs["soa"]["state"]["eqps"]
+    assert float(eqps.max()) > 1e-4, float(eqps.max())
+    eqps_p = outs["pallas"]["state"]["eqps"]
+    assert float(jnp.abs(eqps_p - eqps).max()) < 1e-5
 
 
 def test_pallas_neohookean_tangent_apply_interpret():

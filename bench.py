@@ -195,6 +195,11 @@ def _bench_contact(spans, n_steps, impl):
         "contact_newton_iters": int(nd["iters"]),
         "contact_gmres_iters": int(nd["lin_iters"]),
         "contact_newton_converged": bool(nd["converged"]),
+        # force is kappa*gap and sits at the f32 noise floor when the
+        # yield-limited equilibrium penetration ~ 1/kappa; area and
+        # |u|max are the robust engagement observables
+        "contact_area": float(carry["contact"][0]["area"]),
+        "contact_u_max": float(jnp.abs(carry["u"]).max()),
         "contact_force_z": float(carry["contact"][0]["force"][2]),
         "contact_proj_unconverged": int(
             carry["contact"][0]["proj_unconverged"]

@@ -489,6 +489,39 @@ def _structured_scatter(res_t, dim, spans, pp1, nc, n_dof, n_pad):
     return y.reshape(dim, n_dof).T
 
 
+def _conv_scatter(res_t, dim, spans, pp1, nc, n_dof, n_pad):
+    """The structured overlap-add as ONE transposed convolution with a
+    delta-tap kernel (channel l = local offset l, axis-0 fastest, the
+    _local_offsets order): out[n+a] += res[l(a), n].  Measured ~2x the
+    slice-based scatter at 48^3 (2.8 vs 5.6 ms) — but XLA-TPU convs run
+    at the MXU's default bf16-input precision (~3e-3 relative), so this
+    is used ONLY inside the bf16-streamed Krylov operator
+    (matvec_dtype="bf16"), which already carries that perturbation.
+    Residual/assemble paths keep the exact slice scatter."""
+    from jax import lax
+
+    d = len(spans)
+    nd = int(np.prod(pp1))
+    n_real = int(np.prod(spans))
+    vals = res_t[..., :n_real] if n_pad else res_t
+    W = np.zeros((1, nd) + tuple(pp1[::-1]), np.float32)
+    for l, alphas in enumerate(_local_offsets(pp1)):
+        # transposed conv == correlation with the flipped kernel; the
+        # flip of a delta at `a` is a delta at `pp1-1-a`
+        W[(0, l) + tuple(p - 1 - a for p, a in zip(pp1[::-1], alphas[::-1]))] = 1.0
+    g = vals.reshape((dim, nd) + tuple(spans[::-1]))
+    pads = [(p - 1, p - 1) for p in pp1[::-1]]
+    dn = ("NCHW", "OIHW", "NCHW") if d == 2 else ("NCDHW", "OIDHW", "NCDHW")
+    out = lax.conv_general_dilated(
+        g,
+        jnp.asarray(W, res_t.dtype),
+        window_strides=(1,) * d,
+        padding=pads,
+        dimension_numbers=dn,
+    )
+    return out.reshape(dim, n_dof).T
+
+
 def _merge_dirichlet(pairs):
     out = {}
     for b, d in pairs:
@@ -1326,6 +1359,20 @@ def make_step(
                     r = scatter_el(res_t)
                     return _ctx_finish(r, {"Ck": Ck}, aa)
 
+                # matvec-path scatter: the conv overlap-add (~2x the
+                # slice scatter) when the Krylov operator is already
+                # bf16-perturbed; exact slice scatter otherwise
+                if structured and mv_bf16:
+
+                    def scatter_mv(res_t):
+                        return _conv_scatter(
+                            res_t, dim, _g["spans"], _g["pp1"],
+                            _g["nc"], n_dof, _n_pad,
+                        )
+
+                else:
+                    scatter_mv = scatter_el
+
                 def solve_fn(ctx, r):
                     Ck = ctx["Ck"]
                     c_tan = make_contact_tan(ctx) if has_contact else None
@@ -1335,7 +1382,7 @@ def make_step(
                         y_t = _mv_sweep(
                             gather_t(w), dN_mv, N_mv, wdet_t, Ck
                         )
-                        y = scatter_el(y_t)
+                        y = scatter_mv(y_t)
                         if has_contact:
                             y = y + fac0 * c_tan(w)
                         return (

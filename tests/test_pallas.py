@@ -140,6 +140,46 @@ def test_make_step_pallas_residual_matches_xla():
     assert err < 1e-5, err
 
 
+def test_make_step_pallas_bf16_matvec_interpret():
+    """matvec_dtype='bf16' (half-width Krylov-operator streams + the
+    conv-based matvec scatter on structured grids) stays within the
+    documented ~4e-3 operator-perturbation envelope of the f32 step."""
+    from mimi_tpu.parallel import sharding as sh
+
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1
+    mat.viscosity = -1
+    mat.set_young_poisson(2100, 0.3)
+    prob = sh.build_problem(
+        os.path.join(DATA, "cube-nurbs.mesh"),
+        1,
+        1,
+        mat,
+        [(1, 0), (1, 1), (1, 2)],
+        {1: -3.0},
+        rho_inf=0.5,
+        dtype=jnp.float32,
+        pad_multiple=8,
+    )
+    assert prob.grid is not None  # conv scatter path active under bf16
+    outs = {}
+    for mv in ("f32", "bf16"):
+        # tiny budgets: every interpret-mode GMRES matvec replays the
+        # kernel in pure Python (~seconds each)
+        step = sh.make_step(
+            prob, 0.05, newton_iters=1, solver="cg", cg_iters=8,
+            residual_impl="pallas", lin_rel_tol=1e-2, matvec_dtype=mv,
+        )
+        outs[mv] = np.asarray(step(sh.initial_carry(prob, dt=0.05))["u"])
+    scale = np.abs(outs["f32"]).max()
+    err = np.abs(outs["f32"] - outs["bf16"]).max()
+    # ONE unconverged Newton iteration: the ~4e-3 Krylov-operator
+    # perturbation shows at full size (converged solves wash it out to
+    # ~1e-6; layout/indexing bugs would show at O(1))
+    assert np.isfinite(outs["bf16"]).all()
+    assert err < 2e-2 * max(scale, 1e-6), (err, scale)
+
+
 def test_make_step_pallas_j2_scalar_solve_interpret():
     """The in-kernel J2 radial return (kernel_solver_mode fixed-trip
     scalar solve + lax.cond plastic gating) vs the soa engine — the

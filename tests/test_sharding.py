@@ -590,3 +590,36 @@ def test_pallas_guardrails():
         sh.make_step(
             prob64, 0.1, solver="cg", residual_impl="pallas"
         )
+
+
+def test_conv_scatter_matches_slices():
+    """The conv-based matvec scatter (_conv_scatter, one transposed
+    conv with delta taps) must equal the slice-based overlap-add
+    exactly in f32 — anisotropic spans/degrees, 2D/3D, padding.  (On
+    TPU it runs at the MXU's default precision and is gated to the
+    bf16 Krylov operator; this exactness test pins the indexing.)"""
+    rng = np.random.default_rng(0)
+    cases = [
+        ([5, 4, 3], [3, 3, 3], 0),
+        ([6, 5], [4, 3], 0),
+        ([4, 4, 4], [3, 3, 3], 8),
+        ([7, 3], [2, 4], 3),
+    ]
+    for spans, pp1, npad in cases:
+        dim = len(spans)
+        nc = [s + p - 1 for s, p in zip(spans, pp1)]
+        nd = int(np.prod(pp1))
+        n_el = int(np.prod(spans))
+        n_dof = int(np.prod(nc))
+        y = jnp.asarray(
+            rng.standard_normal((dim, nd, n_el + npad)), jnp.float32
+        )
+        a = np.asarray(
+            sh._structured_scatter(y, dim, spans, pp1, nc, n_dof, npad)
+        )
+        b = np.asarray(
+            sh._conv_scatter(y, dim, spans, pp1, nc, n_dof, npad)
+        )
+        assert np.allclose(a, b, atol=1e-5), (
+            spans, pp1, npad, np.abs(a - b).max()
+        )

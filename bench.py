@@ -1,26 +1,39 @@
 """Benchmark: quadrature-point residual-eval throughput of the fully
 compiled implicit Newton step (flagship 3D J2 plasticity solid).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints the primary JSON line {"metric", "value", "unit", "vs_baseline"}
+IMMEDIATELY after the primary measurement (flushed), so the record
+survives even if a later optional section exceeds the driver's wall
+budget; optional sections (contact sweep, pallas parity, live CPU
+baseline) then run under per-section wall-clock budgets and the full
+line — same metric/value, extras attached — is re-printed as the LAST
+line.  Whichever line a log-tail parser picks up is a valid record of
+the same measurement.  Everything is also written to BENCH_LOCAL.json.
 
-Workload: 3D cube patch, p=2 (elevate 1), `MIMI_BENCH_SUBDIV` uniform
-refinements (default 3 -> 512 elements, 64 quad points each; subdiv 4 =
-4096 elements also completes and measures ~66-78x host CPU, but the
-in-bench CPU baseline makes it a ~15-minute run), J2
-plasticity with Johnson-Cook hardening, generalized-alpha steps with
-4 fixed Newton iterations (matrix-free Jacobi-PCG linear solves and the
-reference's 3-point line search), float32.
+Workload: 3D cube patch, p=2 (elevate 1), MIMI_BENCH_SPANS^3 elements
+(default 48^3 = 110,592 ~ the 1e5-element north star of BASELINE.json),
+J2 plasticity with Johnson-Cook hardening, generalized-alpha steps with
+4 fixed Newton iterations (matrix-free FDM-preconditioned iterative
+solves and the reference's 3-point line search), float32.
 
-Counted work: per Newton iteration the step evaluates the residual 3 times
-(fused residual+tangent assembly counts once; two line-search evaluations)
-plus one state-accumulate sweep per step — the same accounting the
-reference's cost anchors use (BASELINE.md).  The reference's own FD tangent
-would cost (n_tdof+1) extra residual sweeps per element; we do NOT count
-that advantage.
+Counted work: per Newton iteration the step evaluates the residual 3
+times (fused residual+tangent assembly counts once; two line-search
+evaluations) plus one state-accumulate sweep per step — the same
+accounting the reference's cost anchors use (BASELINE.md).  The
+reference's own FD tangent would cost (n_tdof+1) extra residual sweeps
+per element; we do NOT count that advantage.
 
-vs_baseline: speedup of the accelerator run over the identical compiled
-workload on the host CPU (the reference is a CPU-only shared-memory code;
-no published numbers exist, BASELINE.md).
+vs_baseline: per-quad-point throughput ratio vs the identical compiled
+algorithm on the host CPU (the reference is CPU-only shared-memory with
+no published numbers, BASELINE.md).  The denominator comes from the
+committed same-host anchor measurement in bench_anchor.json (4096
+elements — large enough to amortize CPU fixed costs; see that file for
+the measured 512->4096 per-qp scaling) unless a live CPU measurement
+fits the budget, in which case the live number is used and labeled.
+
+Budgets: MIMI_BENCH_BUDGET_S (default 480) caps the optional sections;
+a section is skipped (and says so in extras) when the remaining budget
+is below its historical cost.  The primary section is never skipped.
 """
 
 import json
@@ -29,19 +42,28 @@ import sys
 import time
 
 os.environ.setdefault("MIMI_TPU_X64", "0")  # float32 benchmark mode
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: the 30k+-element step jaxprs take minutes to
-# compile cold; repeat bench runs on the same machine skip that entirely
+# persistent compile cache: the 30k+-element step jaxprs take minutes
+# (remote compile server) cold; repeat bench runs on the same machine
+# skip that entirely.  The end-of-round warm run populates this cache
+# for the exact shipped jaxprs.
 jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    "jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache")
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("MIMI_BENCH_BUDGET_S", "480"))
+
+
+def _remaining():
+    return BUDGET_S - (time.perf_counter() - T_START)
 
 
 def _jc_material():
@@ -66,9 +88,8 @@ def _jc_material():
 def _build(subdiv, spans=None):
     from mimi_tpu.parallel import sharding as sh
 
-    here = os.path.dirname(os.path.abspath(__file__))
     prob = sh.build_problem(
-        os.path.join(here, "tests", "data", "cube-nurbs.mesh"),
+        os.path.join(HERE, "tests", "data", "cube-nurbs.mesh"),
         elevate=1,
         subdivide=subdiv,
         material=_jc_material(),
@@ -90,14 +111,11 @@ def _time_steps(prob, step, n_steps):
 
     carry = sh.initial_carry(prob)
     carry = step(carry)  # compile + warm
-    jax.tree.map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
-        carry,
-    )
+    float(carry["u"].sum())  # fetch: block_until_ready unreliable on axon
     t0 = time.perf_counter()
     for _ in range(n_steps):
         carry = step(carry)
-    carry["u"].block_until_ready()
+    float(carry["u"].sum())
     dt_wall = time.perf_counter() - t0
     assert bool(jnp.all(jnp.isfinite(carry["u"]))), "non-finite result"
     return dt_wall
@@ -111,7 +129,6 @@ def _build_contact(spans):
     from mimi_tpu.splines import Bezier
     from mimi_tpu.parallel import sharding as sh
 
-    here = os.path.dirname(os.path.abspath(__file__))
     mat = _jc_material()
     mat.density = 1e3
     mat.viscosity = 100.0
@@ -131,7 +148,7 @@ def _build_contact(spans):
     scene.plant_kd_tree(max(spans, 8), 1)
     scene.coefficient = 5e7
     prob = sh.build_problem(
-        os.path.join(here, "tests", "data", "cube-nurbs.mesh"),
+        os.path.join(HERE, "tests", "data", "cube-nurbs.mesh"),
         elevate=1,
         subdivide=0,
         refine_spans=spans,
@@ -149,7 +166,6 @@ def _bench_contact(spans, n_steps, impl):
     """Measure the contact sweep: s/step with the tool pressing
     0.01/step (tool motion + scene reseed included, as the reference
     sweep would pay them)."""
-    import numpy as np
     from mimi_tpu.parallel import sharding as sh
 
     prob, scene, tool = _build_contact(spans)
@@ -180,7 +196,7 @@ def _bench_contact(spans, n_steps, impl):
     )
     sd = mimi.NearestDistanceToSplines.translate_scene_data(sd, push)
     carry = step(carry, contact_scenes=[sd])
-    carry["u"].block_until_ready()
+    float(carry["u"].sum())
     t0 = time.perf_counter()
     for _ in range(n_steps):
         sd = mimi.NearestDistanceToSplines.translate_scene_data(sd, push)
@@ -207,22 +223,47 @@ def _bench_contact(spans, n_steps, impl):
     }
 
 
-def _pallas_parity_check(prob, make_step_kwargs):
+def _pallas_parity_check(parity_spans, make_step_kwargs):
     """VERDICT r2 weak #8: assert on REAL TPU (the only place Mosaic
-    kernels run compiled) that one pallas step equals one soa step."""
+    kernels run compiled) that one pallas step equals one soa step.
+    Runs at parity_spans^3 elements — real (non-interpret) Mosaic
+    block sizes, but ~20x cheaper to compile than the north star."""
     import numpy as np
     from mimi_tpu.parallel import sharding as sh
 
+    prob = _build(0, parity_spans)
     carry0 = sh.initial_carry(prob)
     outs = {}
     for impl in ("pallas", "soa"):
-        step = sh.make_step(
-            prob, residual_impl=impl, **make_step_kwargs
-        )
+        step = sh.make_step(prob, residual_impl=impl, **make_step_kwargs)
         outs[impl] = np.asarray(step(carry0)["u"])
     err = float(np.abs(outs["pallas"] - outs["soa"]).max())
     scale = float(np.abs(outs["soa"]).max())
     return err, err <= max(1e-4 * max(scale, 1e-30), 1e-7)
+
+
+def _load_anchor():
+    try:
+        with open(os.path.join(HERE, "bench_anchor.json")) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _emit(record, final):
+    """Print the record as one JSON line (flushed) and keep
+    BENCH_LOCAL.json current."""
+    line = json.dumps(record)
+    print(line, flush=True)
+    try:
+        with open(os.path.join(HERE, "BENCH_LOCAL.json"), "w") as f:
+            f.write(line + "\n")
+    except Exception:
+        pass
+    if final:
+        sys.stderr.write(
+            f"# bench done in {time.perf_counter() - T_START:.1f}s\n"
+        )
 
 
 def main():
@@ -252,76 +293,104 @@ def main():
     per_step = wall / n_steps
     evals_per_sec = qp_total * RES_EVALS_PER_STEP / per_step
 
-    extra = {}
-    # TPU-mode pallas-vs-soa numerical parity at real block sizes
-    # (in-tree tests only run the kernels in interpret mode on CPU)
-    if on_tpu:
-        try:
-            p_err, p_ok = _pallas_parity_check(prob, step_kwargs)
-            extra["pallas_parity_max_abs"] = p_err
-            extra["pallas_parity_ok"] = p_ok
-        except Exception as e:
-            print(f"# pallas parity check failed: {e}", file=sys.stderr)
-            extra["pallas_parity_ok"] = False
-
-    # the BASELINE.json headline config: the 1e5-element CONTACT sweep
-    if os.environ.get("MIMI_BENCH_CONTACT", "1") != "0":
-        try:
-            extra.update(
-                _bench_contact(
-                    spans if spans > 0 else 2**subdiv,
-                    int(os.environ.get("MIMI_BENCH_CONTACT_STEPS", "5")),
-                    impl,
-                )
-            )
-        except Exception as e:
-            print(f"# contact bench failed: {e}", file=sys.stderr)
-            extra["contact_error"] = str(e)[:200]
-
-    # host-CPU baseline (the reference is CPU-only; no published numbers
-    # exist, BASELINE.md).  The CPU side runs the identical algorithm on
-    # a small mesh and is compared per quad point: per-qp throughput is
-    # the right size-free denominator (the full 1e5 config would need
-    # minutes per step on the host).
+    # vs_baseline from the committed same-host anchor (4096-element CPU
+    # measurement of the identical compiled algorithm; bench_anchor.json
+    # documents the measured per-qp size scaling).  A live CPU run can
+    # override it below if the budget allows.
+    anchor = _load_anchor()
     vs_baseline = -1.0
-    try:
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            prob_cpu = _build(3, None)  # 512 elements
-            step_cpu = sh.make_step(
-                prob_cpu, dt=0.05, newton_iters=NEWTON_ITERS,
-                solver="cg", cg_iters=40, residual_impl="soa",
-                precond="fdm", lin_rel_tol=1e-3,
-            )
-            wall_cpu = _time_steps(prob_cpu, step_cpu, 1)
-            cpu_evals = (
-                prob_cpu.n_el * prob_cpu.n_q * RES_EVALS_PER_STEP
-                / wall_cpu
-            )
-            vs_baseline = evals_per_sec / cpu_evals
-    except Exception as e:
-        print(f"# cpu baseline skipped: {e}", file=sys.stderr)
+    vs_src = "none"
+    if anchor and anchor.get("cpu_qp_evals_per_sec"):
+        vs_baseline = evals_per_sec / float(anchor["cpu_qp_evals_per_sec"])
+        vs_src = "anchor:" + anchor.get("config", "bench_anchor.json")
 
-    print(
-        json.dumps(
-            {
-                "metric": "qp_residual_evals_per_sec",
-                "value": evals_per_sec,
-                "unit": (
-                    f"quad-point residual evals/s (3D J2, {prob.n_el} elems"
-                    f" x {prob.n_q} qp, {NEWTON_ITERS}-iter Newton+CG step,"
-                    " f32)"
-                ),
-                # NOTE: cross-size per-qp throughput ratio — numerator is
-                # the TPU at the north-star mesh, denominator the same
-                # compiled algorithm on the host CPU at 512 elements
-                # (full-size CPU steps take minutes); small-mesh CPU runs
-                # amortize fixed costs worse, so treat as indicative
-                "vs_baseline": vs_baseline,
-                "extra": extra,
-            }
-        )
-    )
+    extra = {"primary_s_per_step": per_step, "vs_baseline_source": vs_src}
+    record = {
+        "metric": "qp_residual_evals_per_sec",
+        "value": evals_per_sec,
+        "unit": (
+            f"quad-point residual evals/s (3D J2, {prob.n_el} elems"
+            f" x {prob.n_q} qp, {NEWTON_ITERS}-iter Newton+CG step, f32)"
+        ),
+        "vs_baseline": vs_baseline,
+        "extra": extra,
+    }
+    # THE RECORD: printed now so a wall-budget kill during the optional
+    # sections below cannot erase the primary measurement.
+    _emit(record, final=False)
+
+    # ---- optional sections, each under the remaining wall budget ----
+
+    # the BASELINE.json headline config: the 1e5-element CONTACT sweep.
+    # Historical cost ~60 s warm-cache (compile fetch + engage + 5
+    # steps at ~2 s/step).
+    if os.environ.get("MIMI_BENCH_CONTACT", "1") != "0":
+        if _remaining() > 90.0:
+            try:
+                extra.update(
+                    _bench_contact(
+                        spans if spans > 0 else 2**subdiv,
+                        int(os.environ.get("MIMI_BENCH_CONTACT_STEPS", "5")),
+                        impl,
+                    )
+                )
+            except Exception as e:
+                print(f"# contact bench failed: {e}", file=sys.stderr)
+                extra["contact_error"] = str(e)[:200]
+        else:
+            extra["contact_skipped"] = "wall budget"
+
+    # TPU-mode pallas-vs-soa numerical parity at real (non-interpret)
+    # Mosaic block sizes (in-tree tests only run the kernels in
+    # interpret mode on CPU).  ~40 s warm-cache.
+    if on_tpu and os.environ.get("MIMI_BENCH_PARITY", "1") != "0":
+        if _remaining() > 60.0:
+            try:
+                p_err, p_ok = _pallas_parity_check(16, step_kwargs)
+                extra["pallas_parity_max_abs"] = p_err
+                extra["pallas_parity_ok"] = p_ok
+            except Exception as e:
+                print(f"# pallas parity check failed: {e}", file=sys.stderr)
+                extra["pallas_parity_ok"] = False
+        else:
+            extra["pallas_parity_skipped"] = "wall budget"
+
+    # live host-CPU baseline (same compiled algorithm, small mesh,
+    # per-qp comparison).  XLA-CPU compiles locally; with the
+    # persistent cache warm this is ~1-2 min, cold it can be long —
+    # only run with generous remaining budget.  MIMI_BENCH_CPU=0
+    # disables, =1 forces.
+    want_cpu = os.environ.get("MIMI_BENCH_CPU", "auto")
+    if want_cpu != "0" and (want_cpu == "1" or _remaining() > 240.0):
+        try:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                prob_cpu = _build(3, None)  # 512 elements
+                step_cpu = sh.make_step(
+                    prob_cpu, residual_impl="soa", **step_kwargs
+                )
+                wall_cpu = _time_steps(prob_cpu, step_cpu, 1)
+                cpu_evals = (
+                    prob_cpu.n_el * prob_cpu.n_q * RES_EVALS_PER_STEP
+                    / wall_cpu
+                )
+                extra["cpu_live_qp_evals_per_sec_512"] = cpu_evals
+                if anchor and anchor.get("scale_512_to_4096"):
+                    # documented per-qp scaling: 4096-elem CPU runs are
+                    # FASTER per qp (fixed costs amortize) — applying
+                    # the measured factor keeps the ratio conservative
+                    cpu_evals = cpu_evals * float(
+                        anchor["scale_512_to_4096"]
+                    )
+                record["vs_baseline"] = evals_per_sec / cpu_evals
+                extra["vs_baseline_source"] = "live-cpu-512*anchor-scale"
+        except Exception as e:
+            print(f"# cpu baseline skipped: {e}", file=sys.stderr)
+    elif vs_src == "none":
+        extra["cpu_skipped"] = "wall budget and no anchor"
+
+    # the LAST line: the same record with all extras attached.
+    _emit(record, final=True)
 
 
 if __name__ == "__main__":

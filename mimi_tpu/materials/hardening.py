@@ -6,9 +6,15 @@ src/mimi/materials/material_hardening.hpp): attribute names `sigma_y`, `n`,
 
 Each law exposes
   evaluate(eqps)            -> flow stress (differentiable in eqps)
+  visco_evaluate(eqps, eqps_dot) -> flow stress x rate contribution
+                               (rate-dependent laws only; the reference's
+                               two-arg Evaluate, py_hardening.cpp:35-40)
   rate_contribution(rate)   -> scalar multiplier (treated piecewise)
   thermo_contribution(T)    -> scalar multiplier
-  sigma_y()                 -> initial yield (for solver tolerances)
+  sigma_y()                 -> initial yield (HardeningBase::SigmaY,
+                               py_hardening.cpp:28; on PowerLaw/Voce the
+                               `sigma_y` data attribute shadows the method,
+                               exactly the pybind-visible surface)
 The reference's forward-AD scalar is replaced by jax.grad.
 """
 
@@ -41,6 +47,20 @@ class Hardening:
 
     def evaluate(self, eqps):
         raise NotImplementedError
+
+    def visco_evaluate(self, eqps, eqps_dot):
+        """Rate-dependent flow stress (the reference's two-argument
+        Evaluate, material_hardening.hpp:184-191): raises on
+        rate-independent laws exactly like HardeningBase's."""
+        raise NotImplementedError(
+            f"{self.name()}: visco_evaluate needs a rate-dependent law"
+        )
+
+    def sigma_y(self):
+        """Initial yield stress (HardeningBase::SigmaY). PowerLaw/Voce
+        shadow this method with their `sigma_y` data attribute, matching
+        the reference's pybind surface (py_hardening.cpp:28,47,54)."""
+        return self.sigma_y_value()
 
     def sigma_y_value(self):
         """Initial yield stress (HardeningBase::SigmaY), used for solver
@@ -102,6 +122,10 @@ class JohnsonCookRateDependentHardening(JohnsonCookHardening):
 
     def is_rate_dependent(self):
         return True
+
+    def visco_evaluate(self, eqps, eqps_dot):
+        # material_hardening.hpp:186-191 — Evaluate(eqps) * RateContribution
+        return self.evaluate(eqps) * self.rate_contribution(eqps_dot)
 
     def rate_contribution(self, rate):
         active = rate > self.eps0_dot

@@ -271,6 +271,42 @@ def test_checkpoint_resume(tmp_path):
     )
 
 
+def test_hardening_binding_surface():
+    """The reference's pybind surface (py_hardening.cpp:25-40): base
+    `sigma_y()` METHOD (shadowed by the `sigma_y` data attribute on
+    PowerLaw/Voce, exactly as def_readwrite shadows the base def) and
+    `visco_evaluate(eqps, eqps_dot)` = Evaluate * RateContribution
+    (material_hardening.hpp:184-191; raises on rate-independent laws
+    like HardeningBase's two-arg Evaluate, hpp:36-39)."""
+    h = mimi.JohnsonCookRateDependentHardening()
+    h.A, h.B, h.n = 70.0, 140.0, 0.2835
+    h.C, h.eps0_dot = 0.05, 0.004
+    assert float(h.sigma_y()) == 70.0
+    eqps, rate = 0.02, 0.1
+    expect = float(h.evaluate(eqps)) * (
+        1.0 + h.C * np.log(rate / h.eps0_dot)
+    )
+    assert np.isclose(float(h.visco_evaluate(eqps, rate)), expect)
+    # below the reference rate the contribution clamps to 1
+    assert np.isclose(
+        float(h.visco_evaluate(eqps, 1e-6)), float(h.evaluate(eqps))
+    )
+
+    # rate-independent law: visco_evaluate raises (hpp:36-39) and the
+    # sigma_y data attribute shadows the method (def_readwrite)
+    p = mimi.PowerLawHardening()
+    p.sigma_y, p.n, p.eps0 = 50.0, 2.0, 1e-3
+    assert p.sigma_y == 50.0
+    with pytest.raises(NotImplementedError):
+        p.visco_evaluate(0.1, 0.1)
+
+    jc = mimi.JohnsonCookHardening()
+    jc.A, jc.B, jc.n = 70.0, 140.0, 0.2835
+    assert float(jc.sigma_y()) == 70.0
+    with pytest.raises(NotImplementedError):
+        jc.visco_evaluate(0.1, 0.1)
+
+
 def test_pyad():
     """PyAD parity (py_ad.cpp): forward-AD scalar arithmetic."""
     x = mimi.PyAD.variable(2.0)

@@ -69,10 +69,28 @@ class Solid:
         return FESpace(self._require_mesh(), self._topo)
 
     def save_mesh(self, fname: str) -> None:
+        """Write the current (refined) mesh — single- or multi-patch
+        (parity: PySolid::SaveMesh uses mfem's generic NURBS printer,
+        py_solid.cpp:97-107)."""
         if self._multipatch:
-            raise NotImplementedError(
-                "save_mesh on multi-patch meshes is not implemented"
+            from ..nurbs.mesh_io import write_mfem_nurbs_mesh_multipatch
+
+            fes = self._build_fespace()
+            topo = fes.topo
+            # refined knot vector for each kv index, taken from any
+            # patch axis that references it (shared kvs refine alike)
+            kvs = [None] * len(self._mesh.knot_vectors)
+            for p in range(topo.n_patches):
+                for a, kvi in enumerate(topo.patch_kv[p]):
+                    if kvs[kvi] is None:
+                        kvs[kvi] = (
+                            fes.patches[p].degrees[a],
+                            fes.patches[p].knot_vectors[a],
+                        )
+            write_mfem_nurbs_mesh_multipatch(
+                fname, self._mesh, kvs, fes.x_ref, fes.weights, fes.dim
             )
+            return
         perm = self.dof_map_lex_to_mfem()
         write_mfem_nurbs_mesh(fname, self._mesh, perm, self._patch)
 

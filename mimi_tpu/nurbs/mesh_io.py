@@ -138,6 +138,56 @@ def read_mfem_nurbs_mesh(fname: str) -> MfemNurbsMesh:
     )
 
 
+def write_mfem_nurbs_mesh_multipatch(
+    fname: str, mesh, knotvectors, x, w, vdim
+) -> None:
+    """Writes a (possibly refined) multi-patch NURBS mesh (save_mesh
+    parity: the reference's PySolid::SaveMesh, py_solid.cpp:97-107, uses
+    mfem's generic printer which handles any NURBSExtension).
+
+    `mesh`: the coarse MfemNurbsMesh (elements/boundary/edges/vertices
+    topology is refinement-invariant), `knotvectors`: per kv-index list
+    of (degree, knots) AFTER refinement, `x`/`w`: global control points
+    and weights in MFEM NURBS dof order.
+    """
+    degrees = sorted({p for p, _ in knotvectors})
+    fec = (
+        "NURBS%d" % degrees[0]
+        if len(degrees) == 1
+        else "NURBS"  # mfem writes the variable-order collection name
+    )
+    with open(fname, "w") as f:
+        f.write("MFEM NURBS mesh v1.0\n\n")
+        f.write("dimension\n%d\n\n" % mesh.dimension)
+        f.write("elements\n%d\n" % len(mesh.elements))
+        for attr, geom, vs in mesh.elements:
+            f.write(" ".join(str(x_) for x_ in [attr, geom, *vs]) + "\n")
+        f.write("\nboundary\n%d\n" % len(mesh.boundary))
+        for attr, geom, vs in mesh.boundary:
+            f.write(" ".join(str(x_) for x_ in [attr, geom, *vs]) + "\n")
+        f.write("\nedges\n%d\n" % len(mesh.edges))
+        for e in mesh.edges:
+            f.write(" ".join(str(x_) for x_ in e) + "\n")
+        f.write("\nvertices\n%d\n\n" % mesh.n_vertices)
+        f.write("knotvectors\n%d\n" % len(knotvectors))
+        for p, kv in knotvectors:
+            nc = len(kv) - p - 1
+            f.write(
+                "%d %d " % (p, nc)
+                + " ".join(repr(float(k)) for k in kv)
+                + "\n"
+            )
+        f.write("\nweights\n")
+        for wi in w:
+            f.write(repr(float(wi)) + "\n")
+        f.write("\nFiniteElementSpace\n")
+        f.write("FiniteElementCollection: %s\n" % fec)
+        f.write("VDim: %d\n" % vdim)
+        f.write("Ordering: 1\n\n")
+        for row in x:
+            f.write(" ".join(repr(float(c)) for c in row) + "\n")
+
+
 def write_mfem_nurbs_mesh(fname: str, mesh, dof_perm, patch) -> None:
     """Writes the current (possibly refined) mesh back out (save_mesh parity).
 

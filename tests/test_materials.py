@@ -282,3 +282,84 @@ def test_j2_linear_radial_return():
     assert np.allclose(P, P_ref, atol=1e-9)
     new = mat.accumulate(jnp.asarray(F), state, 0.1)
     assert np.isclose(float(new["eqps"]), dps)
+
+
+def _soa_spd_batch(rng, lam_lo, lam_hi, batch=(2, 4)):
+    """Batch-last (3,3,*batch) SPD tensors with eigenvalues drawn in
+    [lam_lo, lam_hi], plus the exact matrix logs for comparison."""
+    n = int(np.prod(batch))
+    Cs, logs = [], []
+    for _ in range(n):
+        Q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+        lam = rng.uniform(lam_lo, lam_hi, 3)
+        Cs.append((Q * lam) @ Q.T)
+        logs.append((Q * np.log(lam)) @ Q.T)
+    C = np.stack(Cs, -1).reshape(3, 3, *batch)
+    L = np.stack(logs, -1).reshape(3, 3, *batch)
+    return jnp.asarray(C), L
+
+
+def test_j2log_series_range_guard():
+    """VERDICT r3 weak #3: the SoA Hencky log/exp series must never be
+    silently wrong OR silently NaN — in range they match the exact
+    eigendecomposition log, out of range every affected quadrature
+    point is NaN-poisoned on purpose (materials/logm.py) so the
+    step-level finite guard reports it."""
+    from mimi_tpu.materials.logm import expm_sym_soa, logm_sym_soa
+
+    rng = np.random.default_rng(7)
+    # in range: metal-elastic eigenvalue spreads (cond ~ 16)
+    C, L = _soa_spd_batch(rng, 0.25, 4.0)
+    out = np.asarray(logm_sym_soa(C))
+    assert np.all(np.isfinite(out))
+    assert np.allclose(out, L, atol=1e-10), np.abs(out - L).max()
+
+    # far out of range (cond ~ 1e8): poisoned, not plausibly wrong
+    C_bad, _ = _soa_spd_batch(rng, 1e-4, 1e4)
+    out_bad = np.asarray(logm_sym_soa(C_bad))
+    assert np.all(~np.isfinite(out_bad) | (np.abs(out_bad) < 1e30))
+    assert np.any(~np.isfinite(out_bad))
+
+    # expm: in range matches exp eigendecomposition; huge args poisoned
+    A, _ = _soa_spd_batch(rng, 0.1, 1.0)
+    A = A - jnp.eye(3)[..., None, None] * 0.5  # symmetric, ||A|| small
+    lamA, QA = np.linalg.eigh(np.moveaxis(np.asarray(A), (0, 1), (-2, -1)))
+    expA = np.einsum("...ij,...j,...kj->...ik", QA, np.exp(lamA), QA)
+    out_e = np.moveaxis(np.asarray(expm_sym_soa(A)), (0, 1), (-2, -1))
+    assert np.allclose(out_e, expA, atol=1e-10)
+    big = A * 50.0
+    assert np.any(~np.isfinite(np.asarray(expm_sym_soa(big))))
+
+
+def test_j2log_high_load_no_silent_nan():
+    """The J2 bench load (body force 2e4) drives J2Log's finite-strain
+    stretches beyond the series range; round 3 emitted NaN silently
+    (docs/ROADMAP.md r3).  Now the step reports finite=False and the
+    session fast engine raises (api/nonlinear_solid.py)."""
+    import os
+    from mimi_tpu.parallel import sharding as sh
+
+    mat = mimi.J2Log()
+    mat.density = 1.0
+    mat.viscosity = -1.0
+    mat.set_young_poisson(2100.0, 0.3)
+    h = mimi.JohnsonCookHardening()
+    h.A, h.B, h.n = 70.0, 140.0, 0.2835
+    mat.hardening = h
+    prob = sh.build_problem(
+        os.path.join(os.path.dirname(__file__), "data", "cube-nurbs.mesh"),
+        elevate=1,
+        subdivide=1,
+        material=mat,
+        dirichlet=[(1, 0), (1, 1), (1, 2)],
+        body_force={1: -2.0e4},
+        rho_inf=0.5,
+    )
+    step = sh.make_step(
+        prob, dt=0.05, newton_iters=4, solver="cg", cg_iters=40,
+        residual_impl="soa",
+    )
+    carry = sh.initial_carry(prob)
+    for _ in range(3):
+        carry = step(carry)
+    assert not bool(carry["newton"]["finite"])

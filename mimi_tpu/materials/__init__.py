@@ -58,6 +58,13 @@ class Material:
     """Base: parameter store + elastic-constant conversions
     (materials.cpp:7-23)."""
 
+    # dP/dF has major symmetry (hyperelastic energy Hessian): enables
+    # the 45-plane symmetric tangent storage in the pallas matvec
+    # (ops/sweeps.py).  Measured round 4 (docs/ROADMAP.md): NeoHookean/
+    # StVK symmetric to 3e-16; the J2 family asymmetric by 2-16%
+    # (Cauchy->PK1 geometric terms), so it stays False there.
+    tangent_major_symmetric = False
+
     def __init__(self):
         self.density = -1.0
         self.viscosity = -1.0
@@ -128,6 +135,7 @@ def _pk1_from_cauchy_soa(sigma, F):
 
 class StVenantKirchhoff(Material):
     has_soa = True
+    tangent_major_symmetric = True  # P = F S(E): d2W/dF2 Hessian
 
     def pk1(self, F, state, dt):
         d = F.shape[-1]
@@ -144,6 +152,7 @@ class StVenantKirchhoff(Material):
 
 class CompressibleOgdenNeoHookean(Material):
     has_soa = True
+    tangent_major_symmetric = True  # hyperelastic energy Hessian
 
     def pk1(self, F, state, dt):
         d = F.shape[-1]

@@ -56,6 +56,18 @@ def _stack2(rows):
     return jnp.stack([jnp.stack(r, 0) for r in rows], 0)
 
 
+def tri_index_map(d2: int):
+    """Upper-triangle plane index for symmetric tangent storage:
+    (a, b) with a <= b -> flat index into d2*(d2+1)//2 planes."""
+    idx = {}
+    k = 0
+    for a in range(d2):
+        for b in range(a, d2):
+            idx[(a, b)] = k
+            k += 1
+    return idx, k
+
+
 def _grad_interp(dim, nd, w_ref, dn_ref):
     """dF[g,f](q, be) = sum_n w[g,n](be) dN[n,f](q, be).
 
@@ -203,6 +215,7 @@ def make_residual_sweep(
 def make_assemble_sweep(
     mat, dt, dim, nd, n_q, n_el, rho, mu_v, has_visc, state,
     block_e=None, interpret=False, c_dtype=jnp.float32,
+    c_storage="full",
 ):
     """Residual + per-qp consistent tangent C[c*dim+d, g*dim+f](q, e) via
     jax.linearize with one-hot seeds, fused in one pass.
@@ -210,11 +223,21 @@ def make_assemble_sweep(
     c_dtype: storage dtype of the emitted tangent C.  bfloat16 halves
     the dominant HBM stream of the GMRES matvec (C is read once per
     Krylov iteration); the residual and all in-kernel arithmetic stay
-    float32."""
+    float32.
+
+    c_storage: "full" (d2, d2, q, e) or "sym" — upper-triangle planes
+    (d2*(d2+1)//2, q, e), storing (C + C^T)/2.  Exact for materials
+    with major-symmetric dP/dF (hyperelastic energy Hessians:
+    `Material.tangent_major_symmetric`); measured round 4: NeoHookean/
+    StVK are symmetric to 3e-16 while the J2 family's Cauchy->PK1
+    geometric terms break symmetry by 2-16% (docs/ROADMAP.md), so sym
+    storage is gated to the flagged materials."""
     import jax.tree_util as jtu
 
     block_e = block_e or pick_block_e(n_el)
     d2 = dim * dim
+    sym = c_storage == "sym"
+    tri, n_tri = tri_index_map(d2)
     state_leaves, treedef = jtu.tree_flatten(state)
     n_state = len(state_leaves)
 
@@ -263,11 +286,25 @@ def make_assemble_sweep(
                     ]
                 )
                 col = jvp_fn(seed)  # C:(e_gf + ones): (dim, dim, q, be)
+                b = g * dim + f
                 for c in range(dim):
                     for dd in range(dim):
-                        c_ref[c * dim + dd, g * dim + f, :, :] = (
-                            col[c, dd] - base[c, dd]
-                        ).astype(c_dtype)
+                        a = c * dim + dd
+                        x = col[c, dd] - base[c, dd]
+                        if not sym:
+                            c_ref[a, b, :, :] = x.astype(c_dtype)
+                        elif a == b:
+                            c_ref[tri[(a, b)], :, :] = x.astype(c_dtype)
+                        elif a > b:
+                            # first visit of pair (b, a): transpose half
+                            c_ref[tri[(b, a)], :, :] = (0.5 * x).astype(
+                                c_dtype
+                            )
+                        else:
+                            # second visit (columns ascend): accumulate
+                            c_ref[tri[(a, b)], :, :] = c_ref[
+                                tri[(a, b)], :, :
+                            ] + (0.5 * x).astype(c_dtype)
         P_eff = P
         if has_visc:
             P_eff = P + mu_v * _grad_interp(dim, nd, v_ref, dn_ref)
@@ -280,11 +317,20 @@ def make_assemble_sweep(
     specs, el3 = _common_specs(
         dim, nd, n_q, block_e, has_visc, state_leaves
     )
-    c_spec = pl.BlockSpec(
-        (d2, d2, n_q, block_e),
-        lambda i: (0, 0, 0, i),
-        memory_space=pltpu.VMEM,
-    )
+    if sym:
+        c_spec = pl.BlockSpec(
+            (n_tri, n_q, block_e),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        c_shape = jax.ShapeDtypeStruct((n_tri, n_q, n_el), c_dtype)
+    else:
+        c_spec = pl.BlockSpec(
+            (d2, d2, n_q, block_e),
+            lambda i: (0, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        c_shape = jax.ShapeDtypeStruct((d2, d2, n_q, n_el), c_dtype)
     call = pl.pallas_call(
         kernel,
         grid=(n_el // block_e,),
@@ -292,7 +338,7 @@ def make_assemble_sweep(
         out_specs=[el3, c_spec],
         out_shape=[
             jax.ShapeDtypeStruct((dim, nd, n_el), jnp.float32),
-            jax.ShapeDtypeStruct((d2, d2, n_q, n_el), c_dtype),
+            c_shape,
         ],
         interpret=interpret,
         compiler_params=None
@@ -309,24 +355,35 @@ def make_assemble_sweep(
 
 def make_matvec_sweep(
     dim, nd, n_q, n_el, rho, fac0, fac1_mu_v, has_visc,
-    block_e=None, interpret=False,
+    block_e=None, interpret=False, c_storage="full",
 ):
     """J w element sweep given the stored tangent C:
     y_el[c,n] = sum_q w (dN[n,d] (fac0 C:dF + fac1 mu_v dF)[c,d]
-                         + N[n] rho wq[c])."""
+                         + N[n] rho wq[c]).
+
+    c_storage="sym": C arrives as upper-triangle planes (45 instead of
+    81 at dim 3) — cuts the kernel's dominant HBM stream accordingly;
+    see make_assemble_sweep for validity."""
     block_e = block_e or pick_block_e(n_el)
     d2 = dim * dim
+    sym = c_storage == "sym"
+    tri, _ = tri_index_map(d2)
 
     def kernel(w_el_ref, dn_ref, n_ref, wq_ref, c_ref, out_ref):
         dF = _grad_interp(dim, nd, w_el_ref, dn_ref)
+
+        def C_at(a, k):
+            if sym:
+                return c_ref[tri[(min(a, k), max(a, k))], :, :]
+            return c_ref[a, k, :, :]
+
         dP = [[None] * dim for _ in range(dim)]
         for c in range(dim):
             for dd in range(dim):
-                acc = c_ref[c * dim + dd, 0, :, :] * dF[0, 0]
+                a = c * dim + dd
+                acc = C_at(a, 0) * dF[0, 0]
                 for k in range(1, d2):
-                    acc = acc + c_ref[c * dim + dd, k, :, :] * dF[
-                        k // dim, k % dim
-                    ]
+                    acc = acc + C_at(a, k) * dF[k // dim, k % dim]
                 dP[c][dd] = fac0 * acc
                 if has_visc:
                     dP[c][dd] = dP[c][dd] + fac1_mu_v * dF[c, dd]
@@ -355,11 +412,19 @@ def make_matvec_sweep(
     wq = pl.BlockSpec(
         (n_q, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    c_spec = pl.BlockSpec(
-        (d2, d2, n_q, block_e),
-        lambda i: (0, 0, 0, i),
-        memory_space=pltpu.VMEM,
-    )
+    if sym:
+        n_tri = d2 * (d2 + 1) // 2
+        c_spec = pl.BlockSpec(
+            (n_tri, n_q, block_e),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        c_spec = pl.BlockSpec(
+            (d2, d2, n_q, block_e),
+            lambda i: (0, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
     call = pl.pallas_call(
         kernel,
         grid=(n_el // block_e,),

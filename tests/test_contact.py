@@ -245,3 +245,177 @@ def test_contact_press_regression():
         assert np.allclose(u, ref[i], atol=1e-6), (
             f"step {i}: {np.abs(u-ref[i]).max()}"
         )
+
+
+def test_contact_patch_uniform_pressure():
+    """Contact patch test (VERDICT r4 #8): a flat face penetrating a
+    flat rigid plane by a UNIFORM depth must produce (a) a uniform
+    mortar nodal pressure kappa*g at every marked node and (b) the
+    exact consistent load vector of that constant pressure,
+    res_i = +(kappa*delta) * (int N_i dA) * n — the mortar two-pass
+    operator transmits a constant pressure exactly, to roundoff
+    (anchor: mortar_contact.cpp:148-261; no solve involved).
+    Sign convention: contact enters the Newton residual on the
+    internal-force side, res = -f_contact (the recorded traction is
+    -res, mortar.py record())."""
+    nl = mimi.NonlinearSolid()
+    nl.read_mesh(os.path.join(DATA, "cube-nurbs.mesh"))
+    nl.elevate_degrees(1)
+    nl.subdivide(2)
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1e3
+    mat.viscosity = -1.0
+    mat.set_young_poisson(1e6, 0.3)
+    nl.set_material(mat)
+    kappa = 5e7
+    tool = Bezier(
+        [1, 1],
+        [
+            [-0.5, -0.5, 1.02],
+            [-0.5, 1.5, 1.02],
+            [1.5, -0.5, 1.02],
+            [1.5, 1.5, 1.02],
+        ],
+    )
+    scene = mimi.NearestDistanceToSplines()
+    scene.add_spline(tool)
+    scene.plant_kd_tree(50, 1)
+    scene.coefficient = kappa
+    bc = mimi.BoundaryConditions()
+    bc.initial.dirichlet(0, 0).dirichlet(0, 1).dirichlet(0, 2)
+    bc.current.contact(1, scene)  # top face z=1
+    nl.boundary_condition = bc
+    nl.setup(1)
+
+    sysm = nl._system
+    blk = sysm.contact_blocks[0]
+    # manufactured state: rigid translation +z by 0.05 -> the top face
+    # (z=1) sits 0.03 above the tool plane (z=1.02): uniform gap -0.03
+    delta = 0.03
+    u = np.zeros_like(np.asarray(sysm.u))
+    u[:, 2] = 0.02 + delta
+    res, aux = blk.add_residual(
+        jnp.asarray(u), u.shape[0], scene.scene_data(), kappa
+    )
+    res = np.asarray(res)
+
+    # (a) uniform nodal pressure kappa*gap = -kappa*delta
+    p_nodal = np.asarray(aux["nodal_pressure"])
+    assert np.allclose(p_nodal, -kappa * delta, rtol=1e-9), (
+        p_nodal.min(), p_nodal.max()
+    )
+
+    # (b) consistent constant-pressure load vector: w_i = int N_i dA
+    # from the block's own quadrature tables (translation-invariant
+    # metric), face normal +z
+    w = np.zeros(u.shape[0])
+    Nw = np.asarray(blk.N) * np.asarray(blk.wq)[:, :, None]
+    np.add.at(w, np.asarray(blk.conn).ravel(), Nw.sum(axis=1).ravel())
+    expected = np.zeros_like(res)
+    expected[:, 2] = kappa * delta * w
+    scale = kappa * delta * np.abs(w).max()
+    assert np.allclose(res, expected, atol=1e-9 * scale), (
+        np.abs(res - expected).max() / scale
+    )
+    # integral diagnostics agree: area 1, total force -kappa*delta*A
+    assert np.isclose(float(aux["area"]), 1.0, rtol=1e-9)
+    assert np.isclose(
+        float(aux["force"][2]), -kappa * delta, rtol=1e-9
+    )
+    assert np.isclose(float(aux["pressure"]), -kappa * delta, rtol=1e-9)
+
+
+def _max_penetration(blk, u, scene):
+    """Max penetration depth over the marked face's quad points."""
+    cur = np.asarray(u)[np.asarray(blk.conn)] + np.asarray(blk.x_ref_el)
+    qpts = np.einsum("eqn,end->eqd", np.asarray(blk.N), cur)
+    res = blk._batched_query(
+        jnp.asarray(qpts.reshape(-1, blk.dim)), scene.scene_data()
+    )
+    g = np.asarray(res["normal_gap"])
+    return float(np.maximum(-g, 0.0).max())
+
+
+def _settled_press(penalty, subdivide=2, steps=8, holds=12):
+    """Press the rigid tool `steps` x 0.005, then HOLD it for `holds`
+    steps so the dynamics settle toward the quasi-static contact state
+    (light density: the rho_inf=0.5 generalized-alpha dissipation damps
+    the unresolved wave content), solved tightly through the compiled
+    core's consistent-tangent iterative path.  Returns (max geometric
+    penetration at the settled u, max |nodal mortar pressure|)."""
+    from mimi_tpu.parallel import sharding as sh
+
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1.0
+    mat.viscosity = 100.0
+    mat.set_young_poisson(1e6, 0.3)
+    tool = Bezier([1], [[-1.885, 2.464], [1.903, 0.570]])
+    scene = mimi.NearestDistanceToSplines()
+    scene.add_spline(tool)
+    scene.plant_kd_tree(2000, 1)
+    scene.coefficient = penalty
+    prob = sh.build_problem(
+        os.path.join(DATA, "square-nurbs.mesh"), 1, subdivide, mat,
+        [(0, 0), (0, 1)], {}, rho_inf=0.5,
+        contact=[(1, scene)],
+    )
+    step = sh.make_step(
+        prob, 0.01, rel_tol=1e-10, abs_tol=1e-8,
+        solver="iterative", newton_iters=30,
+        contact_tangent="consistent", precond="fdm", cg_iters=150,
+    )
+    carry = sh.initial_carry(prob)
+    push = 0.005 * np.array([1.0, 2.0]) / np.sqrt(5.0)
+    for i in range(steps + holds):
+        if i < steps:
+            tool.cps[:] -= push
+            scene.plant_kd_tree(2000, 1)
+        carry = step(carry, contact_scenes=[scene.scene_data()])
+        assert bool(carry["newton"]["converged"]), (
+            i, float(carry["newton"]["norm"])
+        )
+    # settled enough: residual ringing well below the press velocity
+    # scale (0.5/s tool speed), not growing
+    assert np.abs(np.asarray(carry["v"])).max() < 0.5
+    # geometric penetration at the final state
+    conn = np.asarray(prob.contact[0]["conn"])
+    x_el = np.asarray(prob.contact[0]["x_ref_el"])
+    N = np.asarray(prob.contact[0]["N"])
+    cur = np.asarray(carry["u"])[conn] + x_el
+    qpts = np.einsum("eqn,end->eqd", N, cur)
+    q = prob.contact_static[0]["query"](
+        jnp.asarray(qpts.reshape(-1, prob.dim)), scene.scene_data()
+    )
+    g = np.asarray(q["normal_gap"])
+    pen = float(np.maximum(-g, 0.0).max())
+    p_max = float(np.abs(carry["contact"][0]["nodal_pressure"]).max())
+    return pen, p_max
+
+
+def test_contact_penetration_penalty_rate():
+    """Penalty-contact invariant (VERDICT r4 #8): the settled
+    quasi-static penetration is the p/kappa penalty scale — it matches
+    max|nodal pressure|/kappa and quadrupling kappa divides it by ~4
+    (the transmitted pressure changes only marginally because the
+    press is displacement-controlled)."""
+    pen1, p1 = _settled_press(5e7)
+    pen4, p4 = _settled_press(2e8)
+    assert pen1 > 0 and pen4 > 0
+    ratio = pen1 / pen4
+    assert 2.5 < ratio < 5.5, (pen1, pen4, ratio)
+    # penetration magnitude is the p/kappa scale itself
+    assert 0.3 < pen1 / (p1 / 5e7) < 3.0, (pen1, p1 / 5e7)
+    assert 0.3 < pen4 / (p4 / 2e8) < 3.0, (pen4, p4 / 2e8)
+
+
+@pytest.mark.slow
+def test_contact_penetration_h_refinement():
+    """h-refinement study: the penalty-regime penetration ~ p/kappa is
+    mesh-width-independent — refining the face does not change the
+    penetration scale (it tracks p/kappa at every h)."""
+    for subdiv in (1, 2, 3):
+        pen, p_max = _settled_press(5e7, subdivide=subdiv)
+        assert pen > 0
+        assert 0.3 < pen / (p_max / 5e7) < 3.0, (
+            subdiv, pen, p_max / 5e7
+        )

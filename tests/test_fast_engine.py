@@ -146,6 +146,72 @@ def test_fast_engine_contact_press():
     assert len(h_f) == len(h_i)
 
 
+def test_fast_engine_contact_forces_export():
+    """VERDICT r3 weak #5 / next #7: registering the "contact_forces"
+    npz export no longer silently drops the fast engine — the compiled
+    carry's boundary-sized nodal aux serves the same pressure_/traction_
+    vectors the interactive engine records from its last residual
+    assembly (mortar_contact.cpp:469-488)."""
+    from mimi_tpu.splines import Bezier
+
+    def mk(fast):
+        mat = mimi.CompressibleOgdenNeoHookean()
+        mat.density = 1e3
+        mat.viscosity = 100.0
+        mat.set_young_poisson(1e6, 0.3)
+        nl = mimi.NonlinearSolid()
+        nl.read_mesh(os.path.join(DATA, "square-nurbs.mesh"))
+        nl.elevate_degrees(1)
+        nl.subdivide(2)
+        nl.set_material(mat)
+        rc = mimi.RuntimeCommunication()
+        rc.set_real("ode_coefficient", 0.5)
+        rc.append_should_save("contact_forces", 1)
+        if fast:
+            rc.set_int("use_compiled_core", 1)
+        nl.runtime_communication = rc
+        tool = Bezier([1], [[-1.885, 2.464], [1.903, 0.570]])
+        scene = mimi.NearestDistanceToSplines()
+        scene.add_spline(tool)
+        scene.plant_kd_tree(500, 1)
+        scene.coefficient = 5e7
+        bc = mimi.BoundaryConditions()
+        bc.initial.dirichlet(0, 0).dirichlet(0, 1)
+        bc.current.contact(1, scene)
+        nl.boundary_condition = bc
+        nl.setup(1)
+        nl.time_step_size = 0.01
+        return nl, tool, scene
+
+    push = 0.005 * np.array([1.0, 2.0]) / np.sqrt(5.0)
+    out = {}
+    for fast in (False, True):
+        nl, tool, scene = mk(fast)
+        for _ in range(5):
+            tool.cps[:] -= push
+            scene.plant_kd_tree(500, 1)
+            nl.step_time2()
+        rc = nl.runtime_communication
+        out[fast] = (
+            rc.latest_vector("pressure_").copy(),
+            rc.latest_vector("traction_").copy(),
+        )
+        if fast:
+            assert nl._system._fast is not None  # engine actually engaged
+    p_i, t_i = out[False]
+    p_f, t_f = out[True]
+    assert p_i.shape == p_f.shape and t_i.shape == t_f.shape
+    assert np.abs(p_i).max() > 1.0  # engaged, nonzero pressure
+    scale_p = np.abs(p_i).max()
+    scale_t = np.abs(t_i).max()
+    assert np.allclose(p_i, p_f, atol=1e-6 * scale_p), (
+        np.abs(p_i - p_f).max() / scale_p
+    )
+    assert np.allclose(t_i, t_f, atol=1e-6 * scale_t), (
+        np.abs(t_i - t_f).max() / scale_t
+    )
+
+
 def test_fast_engine_linear_form_view_steering():
     """FSI-style steering: writing the rhs through linear_form_view2
     reaches the compiled core via the step's rhs override."""

@@ -288,3 +288,109 @@ def test_pallas_neohookean_tangent_apply_interpret():
     y_pal = np.transpose(np.asarray(y_pal), (2, 1, 0))
     err = np.abs(y_pal - y64).max()
     assert err < 1e-4 * max(1.0, np.abs(y64).max()), err
+
+
+def test_make_step_pallas_symmetric_tangent_storage():
+    """tangent_storage='sym' (45 upper-triangle planes instead of 81,
+    VERDICT r4 #3): exact for major-symmetric dP/dF, so the step
+    trajectory must match full storage to f32 roundoff for NeoHookean;
+    guarded off for the measured-asymmetric J2 family."""
+    from mimi_tpu.parallel import sharding as sh
+
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1
+    mat.viscosity = 100.0  # exercise the has_visc matvec term too
+    mat.set_young_poisson(2100, 0.3)
+    prob = sh.build_problem(
+        os.path.join(DATA, "cube-nurbs.mesh"),
+        1, 1, mat,
+        [(1, 0), (1, 1), (1, 2)],
+        {1: -3.0},
+        rho_inf=0.5, dtype=jnp.float32, pad_multiple=8,
+    )
+    carry0 = sh.initial_carry(prob, dt=0.05)
+    outs = {}
+    for storage in ("full", "sym"):
+        step = sh.make_step(
+            prob, 0.05, newton_iters=3, solver="cg", cg_iters=40,
+            residual_impl="pallas", tangent_storage=storage,
+        )
+        outs[storage] = step(carry0)["u"]
+    scale = float(jnp.abs(outs["full"]).max())
+    err = float(jnp.abs(outs["full"] - outs["sym"]).max())
+    assert scale > 1e-6
+    assert err < 1e-6 * max(scale, 1.0), (err, scale)
+
+    # guardrail: sym storage on a material without declared major
+    # symmetry is an error, not a silent corruption
+    j2 = mimi.J2Linear()
+    j2.density = 1
+    j2.viscosity = -1
+    j2.set_young_poisson(2100, 0.3)
+    j2.sigma_y = 10.0
+    prob_j2 = sh.build_problem(
+        os.path.join(DATA, "cube-nurbs.mesh"), 1, 1, j2,
+        [(1, 0), (1, 1), (1, 2)], {1: -3.0},
+        rho_inf=0.5, dtype=jnp.float32, pad_multiple=8,
+    )
+    with pytest.raises(ValueError, match="major-symmetric"):
+        sh.make_step(
+            prob_j2, 0.05, solver="cg", residual_impl="pallas",
+            tangent_storage="sym",
+        )
+
+
+def test_tangent_major_symmetry_flags():
+    """Pins the measured symmetry classification the sym-storage gate
+    relies on (round-4 probe, docs/ROADMAP.md): hyperelastic energy
+    Hessians are symmetric to roundoff; the J2 family's Cauchy->PK1
+    geometric terms are NOT."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+
+    def asym(mat, state, d=3):
+        worst = 0.0
+        for _ in range(3):
+            F0 = jnp.asarray(np.eye(d) + 0.08 * rng.standard_normal((d, d)))
+            _, jvp = jax.linearize(
+                lambda Ft: mat.pk1(Ft, state, 0.05), F0
+            )
+            C = np.zeros((d * d, d * d))
+            for g in range(d):
+                for f in range(d):
+                    seed = np.zeros((d, d))
+                    seed[g, f] = 1.0
+                    C[:, g * d + f] = np.asarray(
+                        jvp(jnp.asarray(seed))
+                    ).reshape(-1)
+            worst = max(
+                worst, np.abs(C - C.T).max() / max(np.abs(C).max(), 1e-30)
+            )
+        return worst
+
+    neo = mimi.CompressibleOgdenNeoHookean()
+    neo.set_young_poisson(2100, 0.3)
+    assert neo.tangent_major_symmetric
+    assert asym(neo, None) < 1e-10
+
+    stvk = mimi.StVenantKirchhoff()
+    stvk.set_young_poisson(2100, 0.3)
+    assert stvk.tangent_major_symmetric
+    assert asym(stvk, None) < 1e-10
+
+    j2 = mimi.J2()
+    j2.density = 1.0
+    j2.viscosity = -1.0
+    j2.melting_temperature = 1500.0
+    j2.initial_temperature = 20.0
+    j2.specific_heat = 450.0
+    j2.heat_fraction = 0.9
+    j2.set_young_poisson(2100.0, 0.3)
+    h = mimi.JohnsonCookHardening()
+    h.A, h.B, h.n = 70.0, 140.0, 0.2835
+    j2.hardening = h
+    j2.setup(3)
+    st = j2.init_state(())
+    assert not j2.tangent_major_symmetric
+    assert asym(j2, st) > 1e-3  # genuinely asymmetric at plastic states

@@ -521,27 +521,44 @@ def test_reference_penalty_regime_iterative():
 
     push = 0.005 * np.array([1.0, 2.0]) / np.sqrt(5.0)
 
-    def run(**kw):
-        prob, scene, tool = build()
-        step = sh.make_step(prob, 1e-3, rel_tol=1e-10, abs_tol=1e-8, **kw)
-        carry = sh.initial_carry(prob)
-        for _ in range(8):
-            tool.cps[:] -= push
-            scene.plant_kd_tree(500, 1)
-            carry = step(carry, contact_scenes=[scene.scene_data()])
-        return carry
-
-    cd = run(solver="dense", newton_iters=200)
-    ci = run(
+    # 8-step press through the ITERATIVE path: the 1e11-regime solver
+    # must converge at every engaged step
+    prob, scene, tool = build()
+    step_it = sh.make_step(
+        prob, 1e-3, rel_tol=1e-10, abs_tol=1e-8,
         solver="iterative", newton_iters=30,
         contact_tangent="consistent", precond="fdm", cg_iters=150,
     )
-    assert bool(cd["newton"]["converged"]), float(cd["newton"]["norm"])
-    assert bool(ci["newton"]["converged"]), float(ci["newton"]["norm"])
-    ud, ui = np.asarray(cd["u"]), np.asarray(ci["u"])
-    assert abs(ud).max() > 1e-4  # engaged
-    # 1e11-stiff tangents: GMRES at rel 1e-8 with the FDM contact
-    # spring must track the direct solve
+    carry = sh.initial_carry(prob)
+    for _ in range(8):
+        tool.cps[:] -= push
+        scene.plant_kd_tree(500, 1)
+        carry = step_it(carry, contact_scenes=[scene.scene_data()])
+        assert bool(carry["newton"]["converged"]), float(
+            carry["newton"]["norm"]
+        )
+    ui8 = np.asarray(carry["u"])
+    assert abs(ui8).max() > 1e-4  # engaged
+
+    # dense-vs-iterative equivalence on ONE step from the SAME engaged
+    # state: 1e11-stiff tangents amplify ulp-level compile/codegen
+    # differences chaotically over a multi-step press (measured: the
+    # same pytest invocation flips pass/fail with fresh vs cache-loaded
+    # XLA:CPU executables), so the cross-solver claim — GMRES at rel
+    # 1e-8 with the FDM contact spring tracks the direct solve — is
+    # asserted step-locally where conditioning bounds the difference.
+    step_de = sh.make_step(
+        prob, 1e-3, rel_tol=1e-10, abs_tol=1e-8,
+        solver="dense", newton_iters=200,
+    )
+    tool.cps[:] -= push
+    scene.plant_kd_tree(500, 1)
+    sd = [scene.scene_data()]
+    cd1 = step_de(dict(carry), contact_scenes=sd)
+    ci1 = step_it(dict(carry), contact_scenes=sd)
+    assert bool(cd1["newton"]["converged"]), float(cd1["newton"]["norm"])
+    assert bool(ci1["newton"]["converged"]), float(ci1["newton"]["norm"])
+    ud, ui = np.asarray(cd1["u"]), np.asarray(ci1["u"])
     assert np.allclose(ud, ui, atol=5e-6), np.abs(ud - ui).max()
 
 
@@ -623,3 +640,80 @@ def test_conv_scatter_matches_slices():
         assert np.allclose(a, b, atol=1e-5), (
             spans, pp1, npad, np.abs(a - b).max()
         )
+
+
+def test_contact_schur_preconditioner():
+    """precond='schur' (FDM + additive mortar face-block correction,
+    solvers/fdm.py build_contact_face_schur — VERDICT r3 next #2):
+    preconditioning must not move the converged trajectory, and the
+    GMRES iteration count on an engaged 3D press must drop vs the
+    spring-only FDM (the separable spring's measured ~30-its plateau
+    comes from mis-weighting oscillatory face modes; the face block
+    carries the exact mortar double-average)."""
+    from mimi_tpu.splines import Bezier
+
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1e3
+    mat.viscosity = 100.0
+    mat.set_young_poisson(1e6, 0.3)
+    tool = Bezier(
+        [1, 1],
+        [
+            [-0.5, -0.5, 1.02],
+            [-0.5, 1.5, 1.02],
+            [1.5, -0.5, 1.02],
+            [1.5, 1.5, 1.02],
+        ],
+    )
+    scene = mimi.NearestDistanceToSplines()
+    scene.add_spline(tool)
+    scene.plant_kd_tree(50, 1)
+    scene.coefficient = 5e7
+    prob = sh.build_problem(
+        os.path.join(DATA, "cube-nurbs.mesh"), 1, 2,
+        mat, [(0, 0), (0, 1), (0, 2)], {}, rho_inf=0.5,
+        contact=[(1, scene)],
+    )
+    assert prob.fdm is not None
+
+    outs = {}
+    for pc in ("fdm", "schur"):
+        step = sh.make_step(
+            prob, 0.01, rel_tol=1e-8, abs_tol=1e-10,
+            solver="iterative", newton_iters=30,
+            contact_tangent="consistent", precond=pc, cg_iters=200,
+            lin_rel_tol=1e-4,
+        )
+        carry = sh.initial_carry(prob)
+        lin_total = 0
+        sd = jax.tree.map(jnp.asarray, scene.scene_data())
+        push = jnp.asarray([0.0, 0.0, -0.01])
+        for _ in range(5):
+            sd = mimi.NearestDistanceToSplines.translate_scene_data(
+                sd, push
+            )
+            carry = step(carry, contact_scenes=[sd])
+            assert bool(carry["newton"]["converged"])
+            lin_total += int(carry["newton"]["lin_iters"])
+        outs[pc] = (np.asarray(carry["u"]), lin_total)
+
+    u_f, it_f = outs["fdm"]
+    u_s, it_s = outs["schur"]
+    assert np.abs(u_f).max() > 1e-4  # engaged
+    assert np.allclose(u_f, u_s, atol=5e-7), np.abs(u_f - u_s).max()
+    # the correction must pay for itself on the engaged press
+    assert it_s < it_f, (it_s, it_f)
+
+
+def test_contact_schur_guardrails():
+    """schur without contact or tensor structure raises clearly."""
+    mat = mimi.CompressibleOgdenNeoHookean()
+    mat.density = 1.0
+    mat.viscosity = -1.0
+    mat.set_young_poisson(2100.0, 0.3)
+    prob = sh.build_problem(
+        os.path.join(DATA, "cube-nurbs.mesh"), 1, 1,
+        mat, [(0, 0), (0, 1), (0, 2)], {1: -3.0}, rho_inf=0.5,
+    )
+    with pytest.raises(ValueError, match="contact face"):
+        sh.make_step(prob, 0.05, solver="cg", precond="schur")

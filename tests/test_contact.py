@@ -142,6 +142,7 @@ def test_contact_force_balance():
     assert np.allclose(-tr.sum(axis=0), -blk.last_force, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_contact_3d_surface():
     """3D contact: cube pressed from above by a rigid bilinear surface
     (exercises the para_dim-2 closest-point and surface-normal paths)."""
@@ -392,6 +393,7 @@ def _settled_press(penalty, subdivide=2, steps=8, holds=12):
     return pen, p_max
 
 
+@pytest.mark.slow
 def test_contact_penetration_penalty_rate():
     """Penalty-contact invariant (VERDICT r4 #8): the settled
     quasi-static penetration is the p/kappa penalty scale — it matches

@@ -331,6 +331,7 @@ def test_j2log_series_range_guard():
     assert np.any(~np.isfinite(np.asarray(expm_sym_soa(big))))
 
 
+@pytest.mark.slow
 def test_j2log_high_load_no_silent_nan():
     """The J2 bench load (body force 2e4) drives J2Log's finite-strain
     stretches beyond the series range; round 3 emitted NaN silently

@@ -11,6 +11,7 @@ analog, 1-vs-N-device invariance, lives in tests/test_sharding.py).
 import os
 
 import numpy as np
+import pytest
 
 import mimi_tpu as mimi
 
@@ -122,12 +123,14 @@ def test_nonlinear_solid_j2():
     )
 
 
+@pytest.mark.slow
 def test_nonlinear_solid_j2_simo():
     compare_list_of_nthreads(
         "j2_simo", balken_plasticity, [1, 2, mimi.J2Simo], [1, 4]
     )
 
 
+@pytest.mark.slow
 def test_nonlinear_solid_j2_log():
     compare_list_of_nthreads(
         "j2_log", balken_plasticity, [1, 2, mimi.J2Log], [1, 4]

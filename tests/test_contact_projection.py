@@ -97,7 +97,9 @@ def _scene_union():
 
 @pytest.mark.parametrize(
     "maker",
-    [_scene_2d_bezier, _scene_2d_nurbs_arc, _scene_3d_surface, _scene_union],
+    [pytest.param(_scene_2d_bezier, marks=pytest.mark.slow),
+     pytest.param(_scene_2d_nurbs_arc, marks=pytest.mark.slow),
+     _scene_3d_surface, _scene_union],
     ids=["bezier2d", "nurbs-arc", "surface3d", "union"],
 )
 def test_soa_projection_matches_pointwise(maker):

@@ -90,7 +90,8 @@ def test_device_count_invariance_neohook():
 
 @pytest.mark.parametrize(
     "cls_name",
-    ["J2Simo", pytest.param("J2Log", marks=pytest.mark.slow)],
+    [pytest.param("J2Simo", marks=pytest.mark.slow),
+     pytest.param("J2Log", marks=pytest.mark.slow)],
 )
 def test_device_count_invariance_finite_strain_plasticity(cls_name):
     """Completes the reference invariance-suite port over the finite-
@@ -104,7 +105,9 @@ def test_device_count_invariance_finite_strain_plasticity(cls_name):
     assert np.allclose(u1, u8, atol=1e-12), np.abs(u1 - u8).max()
 
 
-@pytest.mark.parametrize("cls_name", ["J2", "J2Log"])
+@pytest.mark.parametrize(
+    "cls_name", [pytest.param("J2", marks=pytest.mark.slow), "J2Log"]
+)
 def test_compiled_vs_interactive_plasticity(cls_name):
     """Compiled-core vs interactive-session consistency over materials
     WITH state accumulation (5 steps, so PostTimeAdvance drift in either

@@ -46,6 +46,13 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
 import jax
+
+# the hosted axon TPU plugin overrides JAX_PLATFORMS at import time and
+# its init HANGS when the tunnel is down; MIMI_TPU_PLATFORM=cpu forces
+# the CPU backend for smoke runs (jax.config wins over the plugin).
+if os.environ.get("MIMI_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MIMI_TPU_PLATFORM"])
+
 import jax.numpy as jnp
 
 # persistent compile cache: the 30k+-element step jaxprs take minutes

@@ -273,6 +273,25 @@ def _emit(record, final):
         )
 
 
+def _tpu_preflight(timeout_s):
+    """The hosted TPU plugin's backend init HANGS INDEFINITELY when its
+    tunnel is down (observed: >500 s, no error) — which would turn the
+    whole benchmark into an rc=124 with no record.  Probe device init
+    in a killable subprocess; on failure the caller falls back to a
+    reduced-scale CPU run that still emits a (labeled) record."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform == 'tpu'"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
     from mimi_tpu.parallel import sharding as sh
 
@@ -282,6 +301,19 @@ def main():
     spans = int(os.environ.get("MIMI_BENCH_SPANS", "48"))
     subdiv = int(os.environ.get("MIMI_BENCH_SUBDIV", "3"))
     n_steps = int(os.environ.get("MIMI_BENCH_STEPS", "5"))
+    cpu_fallback = False
+    probe_s = float(os.environ.get("MIMI_BENCH_TPU_PROBE_S", "240"))
+    if not os.environ.get("MIMI_TPU_PLATFORM") and probe_s > 0:
+        if not _tpu_preflight(probe_s):
+            # dead/absent TPU tunnel: record a small CPU number rather
+            # than hanging in backend init until the driver's wall cap
+            jax.config.update("jax_platforms", "cpu")
+            spans = min(spans, int(os.environ.get(
+                "MIMI_BENCH_CPU_SPANS", "8")))
+            n_steps = min(n_steps, 2)
+            cpu_fallback = True
+            print("# TPU preflight failed: CPU fallback at "
+                  f"spans={spans}", file=sys.stderr)
     on_tpu = jax.default_backend() == "tpu"
     impl = "pallas" if on_tpu else "soa"
     prob = _build(subdiv, spans if spans > 0 else None)
@@ -312,6 +344,8 @@ def main():
         vs_src = "anchor:" + anchor.get("config", "bench_anchor.json")
 
     extra = {"primary_s_per_step": per_step, "vs_baseline_source": vs_src}
+    if cpu_fallback:
+        extra["platform"] = "cpu-fallback (TPU tunnel down at bench time)"
     record = {
         "metric": "qp_residual_evals_per_sec",
         "value": evals_per_sec,
@@ -368,6 +402,8 @@ def main():
     # only run with generous remaining budget.  MIMI_BENCH_CPU=0
     # disables, =1 forces.
     want_cpu = os.environ.get("MIMI_BENCH_CPU", "auto")
+    if cpu_fallback:
+        want_cpu = "0"  # the primary IS a CPU run already
     if want_cpu != "0" and (want_cpu == "1" or _remaining() > 240.0):
         try:
             cpu = jax.devices("cpu")[0]

@@ -273,6 +273,31 @@ def _emit(record, final):
         )
 
 
+def _any_tunnel_listener():
+    """Near-zero-cost check whether the axon tunnel could be up at all:
+    the TPU plugin talks to local tunnel ports (remote-compile server on
+    127.0.0.1:81xx among others).  When the ONLY listeners are the
+    box's own fixed services, the tunnel is definitively down and the
+    expensive init probe (a guaranteed timeout_s stall) can be skipped.
+    Unknown/parse failure returns True (fall through to the real probe)."""
+    own = {48271, 2024}  # inference gateway, control port
+    ports = set()
+    try:
+        for f in ("/proc/net/tcp", "/proc/net/tcp6"):
+            try:
+                with open(f) as fh:
+                    next(fh)
+                    for line in fh:
+                        parts = line.split()
+                        if parts[3] == "0A":  # LISTEN
+                            ports.add(int(parts[1].rsplit(":", 1)[1], 16))
+            except FileNotFoundError:
+                pass
+    except Exception:
+        return True
+    return bool(ports - own)
+
+
 def _tpu_preflight(timeout_s):
     """The hosted TPU plugin's backend init HANGS INDEFINITELY when its
     tunnel is down (observed: >500 s, no error) — which would turn the
@@ -281,6 +306,10 @@ def _tpu_preflight(timeout_s):
     reduced-scale CPU run that still emits a (labeled) record."""
     import subprocess
 
+    if not _any_tunnel_listener():
+        print("# no tunnel listener ports: skipping TPU init probe",
+              file=sys.stderr)
+        return False
     try:
         r = subprocess.run(
             [sys.executable, "-c",

@@ -73,6 +73,15 @@ def _remaining():
     return BUDGET_S - (time.perf_counter() - T_START)
 
 
+def _phase(msg):
+    """Stderr phase timestamp: makes the wall-time split of a run
+    (preflight / host build / compile / steps) visible in the log."""
+    sys.stderr.write(
+        f"# t+{time.perf_counter() - T_START:7.1f}s {msg}\n"
+    )
+    sys.stderr.flush()
+
+
 def _jc_material():
     import mimi_tpu as mimi
 
@@ -119,6 +128,7 @@ def _time_steps(prob, step, n_steps):
     carry = sh.initial_carry(prob)
     carry = step(carry)  # compile + warm
     float(carry["u"].sum())  # fetch: block_until_ready unreliable on axon
+    _phase("warm step done; timing")
     t0 = time.perf_counter()
     for _ in range(n_steps):
         carry = step(carry)
@@ -175,6 +185,7 @@ def _bench_contact(spans, n_steps, impl):
     sweep would pay them)."""
     from mimi_tpu.parallel import sharding as sh
 
+    _phase("contact: host problem build")
     prob, scene, tool = _build_contact(spans)
     # bf16 matvec streaming + 1e-2 inexact-Newton forcing: measured
     # r3 on one v5e at 48^3 — 2.66 s/step vs 11.7 s (f32, 3e-6) vs
@@ -185,9 +196,15 @@ def _bench_contact(spans, n_steps, impl):
     # touching, fresh plasticization) need ~8-12 Newton its at rel
     # 1e-3; post-engagement steps converge in ~5 and exit the
     # while_loop early, so the budget only costs time where needed
+    # MIMI_BENCH_CONTACT_PRECOND: "schur" (default) adds the exact
+    # face-restricted mortar double-average block to the FDM inverse
+    # (solvers/fdm.py build_contact_face_schur) — the round-4 lever for
+    # the measured ~30-its/solve separable-preconditioner plateau;
+    # "fdm" reproduces the round-3 configuration.
+    precond = os.environ.get("MIMI_BENCH_CONTACT_PRECOND", "schur")
     step = sh.make_step(
         prob, dt=0.01, newton_iters=12, solver="cg", cg_iters=80,
-        residual_impl=impl, precond="fdm", lin_rel_tol=1e-2,
+        residual_impl=impl, precond=precond, lin_rel_tol=1e-2,
         contact_tangent="consistent", rel_tol=1e-3,
         matvec_dtype="bf16" if impl == "pallas" else "f32",
     )
@@ -202,8 +219,10 @@ def _bench_contact(spans, n_steps, impl):
         lambda a: jnp.asarray(a, prob.rhs.dtype), scene.scene_data()
     )
     sd = mimi.NearestDistanceToSplines.translate_scene_data(sd, push)
+    _phase("contact: warm step (trace + compile) ...")
     carry = step(carry, contact_scenes=[sd])
     float(carry["u"].sum())
+    _phase("contact: warm step done; timing")
     t0 = time.perf_counter()
     for _ in range(n_steps):
         sd = mimi.NearestDistanceToSplines.translate_scene_data(sd, push)
@@ -214,6 +233,7 @@ def _bench_contact(spans, n_steps, impl):
     nd = carry["newton"]
     return {
         "contact_s_per_step": per,
+        "contact_precond": precond,
         "contact_n_el": int(prob.n_el),
         "contact_newton_iters": int(nd["iters"]),
         "contact_gmres_iters": int(nd["lin_iters"]),
@@ -333,6 +353,7 @@ def main():
     cpu_fallback = False
     probe_s = float(os.environ.get("MIMI_BENCH_TPU_PROBE_S", "240"))
     if not os.environ.get("MIMI_TPU_PLATFORM") and probe_s > 0:
+        _phase("tpu preflight")
         if not _tpu_preflight(probe_s):
             # dead/absent TPU tunnel: record a small CPU number rather
             # than hanging in backend init until the driver's wall cap
@@ -345,6 +366,7 @@ def main():
                   f"spans={spans}", file=sys.stderr)
     on_tpu = jax.default_backend() == "tpu"
     impl = "pallas" if on_tpu else "soa"
+    _phase(f"host problem build (spans={spans})")
     prob = _build(subdiv, spans if spans > 0 else None)
     qp_total = prob.n_el * prob.n_q
 
@@ -356,8 +378,11 @@ def main():
         dt=0.05, newton_iters=NEWTON_ITERS, solver="cg",
         cg_iters=40, precond="fdm", lin_rel_tol=1e-3,
     )
+    _phase("make_step (trace prep)")
     step = sh.make_step(prob, residual_impl=impl, **step_kwargs)
+    _phase("warm step (trace + compile) ...")
     wall = _time_steps(prob, step, n_steps)
+    _phase("primary measured")
     per_step = wall / n_steps
     evals_per_sec = qp_total * RES_EVALS_PER_STEP / per_step
 
@@ -416,6 +441,7 @@ def main():
     if on_tpu and os.environ.get("MIMI_BENCH_PARITY", "1") != "0":
         if _remaining() > 60.0:
             try:
+                _phase("pallas parity check")
                 p_err, p_ok = _pallas_parity_check(16, step_kwargs)
                 extra["pallas_parity_max_abs"] = p_err
                 extra["pallas_parity_ok"] = p_ok

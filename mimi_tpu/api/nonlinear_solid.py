@@ -747,16 +747,16 @@ class _System:
         }
         return self._fast
 
-    def _fast_step_time2(self, t, dt):
+    def _fast_carry_in(self, fast, dt):
+        """Sync the session fields into a compiled-core carry (the
+        first-step explicit acceleration uses the CURRENT state, which
+        may include view writes — interactive semantics)."""
         from ..parallel import sharding as sh
         from ..fem import soa as soa_mod
 
-        fast = self._ensure_fast(dt)
-        prob, step = fast["prob"], fast["step"]
+        prob = fast["prob"]
         dtype = prob.rhs.dtype
         if self.ode.nstate == 0:
-            # interactive first-step semantics: explicit acceleration
-            # at the CURRENT state (which may include view writes)
             self.dt = dt
             self.a = self.explicit_accel(self.u, self.v)
             self.ode.nstate = 1
@@ -772,35 +772,28 @@ class _System:
             carry["state"] = (
                 soa_mod.state_to_soa(st) if prob.state_soa else st
             )
-        scenes = penalties = None
-        if self.contact_blocks:
-            cast = lambda a: (
-                jnp.asarray(a, dtype)
-                if jnp.asarray(a).dtype.kind == "f"
-                else jnp.asarray(a)
-            )
-            scenes = [
-                jax.tree.map(cast, blk.scene.scene_data())
-                for blk in self.contact_blocks
-            ]
-            penalties = [
-                blk.scene.coefficient for blk in self.contact_blocks
-            ]
-        carry = step(
-            carry,
-            contact_scenes=scenes,
-            rhs=jnp.asarray(self.rhs, dtype) if self.has_rhs else None,
-            penalties=penalties,
+        return carry
+
+    def _fast_scene_args(self, dtype):
+        """Fresh per-block scene data + penalties for the compiled step
+        (rigid tools move and penalties mutate between steps)."""
+        if not self.contact_blocks:
+            return None, None
+        cast = lambda a: (
+            jnp.asarray(a, dtype)
+            if jnp.asarray(a).dtype.kind == "f"
+            else jnp.asarray(a)
         )
-        fast["carry"] = carry
-        self.dt = dt
-        self.u, self.v, self.a = carry["u"], carry["v"], carry["a"]
-        if self.state is not None:
-            st = carry["state"]
-            self.state = (
-                soa_mod.state_from_soa(st) if prob.state_soa else st
-            )
-        nd = carry["newton"]
+        scenes = [
+            jax.tree.map(cast, blk.scene.scene_data())
+            for blk in self.contact_blocks
+        ]
+        penalties = [
+            blk.scene.coefficient for blk in self.contact_blocks
+        ]
+        return scenes, penalties
+
+    def _fast_check_finite(self, nd):
         if not bool(nd["finite"]):
             raise FloatingPointError(
                 "non-finite field after compiled step: a material model "
@@ -812,6 +805,24 @@ class _System:
                 "interactive engine (rc.set_int('use_compiled_core', 0)), "
                 "which has no range limit."
             )
+
+    def _fast_commit_out(self, fast, carry, dt):
+        """Sync a committed compiled-core carry back into the session
+        fields + contact observability/npz (mortar_contact.cpp:469-488
+        semantics: recorded from the last assembly at the alpha level)."""
+        from ..fem import soa as soa_mod
+
+        prob = fast["prob"]
+        fast["carry"] = carry
+        self.dt = dt
+        self.u, self.v, self.a = carry["u"], carry["v"], carry["a"]
+        if self.state is not None:
+            st = carry["state"]
+            self.state = (
+                soa_mod.state_from_soa(st) if prob.state_soa else st
+            )
+        nd = carry["newton"]
+        self._fast_check_finite(nd)
         self.newton.initial_norm = float(nd["norm0"])
         self.newton.final_norm = float(nd["norm"])
         self.newton.final_iter = int(nd["iters"])
@@ -822,7 +833,6 @@ class _System:
             blk.last_force = np.asarray(aux["force"])
             blk.last_pressure = float(aux["pressure"])
             if self.rc.should_save("contact_forces"):
-                # reference semantics (mortar_contact.cpp:469-488):
                 # nodal pressure + traction = -contact residual at the
                 # alpha level; padded rows carry zeros (wq zeroed)
                 blk.last_nodal_pressure = np.asarray(
@@ -836,6 +846,126 @@ class _System:
                 )
                 blk.last_traction_residual = -res
             blk.post_time_advance(self.rc, self._flat_mfem)
+
+    def _fast_step_time2(self, t, dt):
+        fast = self._ensure_fast(dt)
+        prob, step = fast["prob"], fast["step"]
+        dtype = prob.rhs.dtype
+        carry = self._fast_carry_in(fast, dt)
+        scenes, penalties = self._fast_scene_args(dtype)
+        carry = step(
+            carry,
+            contact_scenes=scenes,
+            rhs=jnp.asarray(self.rhs, dtype) if self.has_rhs else None,
+            penalties=penalties,
+        )
+        self._fast_commit_out(fast, carry, dt)
+        return t + dt
+
+    # -------- compiled-core FSI fixed-point trio (ode.cpp:81-187) ----
+    # The split mirrors the interactive GeneralizedAlpha2: predict once
+    # per step (host-side — O(n_dof) elementwise), Newton at the stored
+    # alpha state per solve sweep (compiled, warm-started from the
+    # previous sweep's acceleration), non-committing preview, and a
+    # compiled commit (corrector + state accumulation + contact aux).
+    # rhs steering between sweeps flows through the linear-form views
+    # exactly like the interactive engine.
+
+    def _fast_fixed_point_solve2(self, t, dt):
+        fast = self._ensure_fast(dt)
+        prob, step = fast["prob"], fast["step"]
+        dtype = prob.rhs.dtype
+        carry = self._fast_carry_in(fast, dt)
+        fp = fast.get("fp")
+        if fp is None or fp["predict"]:
+            f = prob.facs
+            u, v, a = carry["u"], carry["v"], carry["a"]
+            xa = u + (v + f["fac0"] * dt * a) * f["fac1"] * dt
+            va = v + f["fac2"] * dt * a
+            if prob.cv_mask is not None:
+                cvm = jnp.asarray(prob.cv_mask)
+                cvv = jnp.asarray(prob.cv_vals, dtype)
+                xa = jnp.where(cvm > 0, u + cvv * dt, xa)
+                va = jnp.where(cvm > 0, cvv, va)
+            # aa persists ACROSS steps (the interactive path never
+            # resets self.aa at predict — warm start, ode.cpp:81-111)
+            aa = fp["aa"] if fp is not None else jnp.zeros_like(u)
+            fp = {"xa": xa, "va": va, "aa": aa, "predict": False}
+            fast["fp"] = fp
+        carry["xa"], carry["va"], carry["aa"] = (
+            fp["xa"], fp["va"], fp["aa"],
+        )
+        scenes, penalties = self._fast_scene_args(dtype)
+        out = step.fp_solve(
+            carry,
+            contact_scenes=scenes,
+            rhs=jnp.asarray(self.rhs, dtype) if self.has_rhs else None,
+            penalties=penalties,
+        )
+        self._fast_check_finite(out["newton"])
+        fp["aa"] = out["aa"]
+        fp["newton"] = out["newton"]
+        self.dt = dt
+        nd = out["newton"]
+        self.newton.initial_norm = float(nd["norm0"])
+        self.newton.final_norm = float(nd["norm"])
+        self.newton.final_iter = int(nd["iters"])
+
+    def _fp_corrected(self, fast, dt):
+        """Corrector formulas shared by preview and the cv-restore of
+        the committed fields (the compiled fp_commit applies the same
+        math device-side)."""
+        prob = fast["prob"]
+        f = prob.facs
+        fp = fast["fp"]
+        dtype = prob.rhs.dtype
+        u = jnp.asarray(self.u, dtype)
+        v = jnp.asarray(self.v, dtype)
+        prev_fac = 1.0 - f["fac1_inv"]
+        xa = fp["xa"] + f["fac3"] * dt * dt * fp["aa"]
+        va = fp["va"] + f["fac4"] * dt * fp["aa"]
+        x = u * prev_fac + f["fac1_inv"] * xa
+        vn = v * prev_fac + f["fac1_inv"] * va
+        if prob.cv_mask is not None:
+            cvm = jnp.asarray(prob.cv_mask)
+            cvv = jnp.asarray(prob.cv_vals, dtype)
+            x = jnp.where(cvm > 0, u + cvv * dt, x)
+            vn = jnp.where(cvm > 0, cvv, vn)
+        return x, vn
+
+    def _fast_fixed_point_advance2(self, t, dt):
+        fast = self._fast
+        if fast is None or fast.get("fp") is None or fast["fp"]["predict"]:
+            raise RuntimeError(
+                "FixedPointAdvance2() should be called after "
+                "FixedPointSolve2()"
+            )
+        return self._fp_corrected(fast, dt)
+
+    def _fast_advance_time2(self, t, dt):
+        fast = self._fast
+        if fast is None or fast.get("fp") is None or fast["fp"]["predict"]:
+            raise RuntimeError(
+                "AdvanceTime2() should be called after "
+                "FixedPointSolve2()"
+            )
+        prob, step = fast["prob"], fast["step"]
+        dtype = prob.rhs.dtype
+        fp = fast["fp"]
+        carry = self._fast_carry_in(fast, dt)
+        carry["xa"], carry["va"], carry["aa"] = (
+            fp["xa"], fp["va"], fp["aa"],
+        )
+        carry["newton"] = fp["newton"]
+        scenes, penalties = self._fast_scene_args(dtype)
+        carry = step.fp_commit(
+            carry,
+            contact_scenes=scenes,
+            rhs=jnp.asarray(self.rhs, dtype) if self.has_rhs else None,
+            penalties=penalties,
+        )
+        self._fast_commit_out(fast, carry, dt)
+        fp["predict"] = True
         return t + dt
 
     # ---------------- stepping facade ----------------
@@ -850,12 +980,18 @@ class _System:
 
     def fixed_point_solve2(self, t, dt):
         self._sync_views_in()
-        self.ode.fixed_point_solve2(t, dt)
+        if self.use_compiled_core and self._fast_ok():
+            self._fast_fixed_point_solve2(t, dt)
+        else:
+            self.ode.fixed_point_solve2(t, dt)
         self._sync_views_out()
 
     def fixed_point_advance2(self, t, dt):
         self._sync_views_in()
-        x, v = self.ode.fixed_point_advance2(t, dt)
+        if self.use_compiled_core and self._fast_ok():
+            x, v = self._fast_fixed_point_advance2(t, dt)
+        else:
+            x, v = self.ode.fixed_point_advance2(t, dt)
         self._fp_x = self._to_mfem(x)
         self._fp_v = self._to_mfem(v)
         return self.fixed_point_advanced_vector_views()
@@ -865,7 +1001,10 @@ class _System:
 
     def advance_time2(self, t, dt):
         self._sync_views_in()
-        t_new = self.ode.advance_time2(t, dt)
+        if self.use_compiled_core and self._fast_ok():
+            t_new = self._fast_advance_time2(t, dt)
+        else:
+            t_new = self.ode.advance_time2(t, dt)
         self._sync_views_out()
         return t_new
 

@@ -1069,7 +1069,11 @@ def make_step(
         C, P = jax.jacfwd(fn, has_aux=True)(Fq)
         return P, C
 
-    def impl(carry, d):
+    def impl(carry, d, mode="full"):
+        # mode (static): "full" = one generalized-alpha step;
+        # "fp_solve"/"fp_commit" = the FSI fixed-point split
+        # (FixedPointSolve2 / AdvanceTime2, ode.cpp:81-187) — same
+        # closures, the session drives predict/preview host-side.
         # batch-first tables are only present for the xla/dense engines
         conn = d.get("conn")
         dNdX = d.get("dNdX")
@@ -1833,20 +1837,47 @@ def make_step(
             # expect per-quad trailing tensor dims
             state = soa.state_from_soa(state)
         prev_fac = 1.0 - f["fac1_inv"]
-        xa = u + (v + f["fac0"] * dt * a) * f["fac1"] * dt
-        va = v + f["fac2"] * dt * a
         if has_cv:
-            # dynamic Dirichlet apply (boundary_conditions.cpp:209-258):
-            # at alpha level aa=0 (rows are masked), va = v_bc,
-            # xa = x + v_bc*dt; values restored after the corrector
+            # dynamic Dirichlet values (boundary_conditions.cpp:209-258)
             cvm = d["cv_mask"]
             cvv = d["cv_vals"]
             xa_cv = u + cvv * dt
-            xa = jnp.where(cvm > 0, xa_cv, xa)
-            va = jnp.where(cvm > 0, cvv, va)
-        aa, newton_diag = make_newton(xa, va, state)(jnp.zeros_like(u))
-        xa = xa + fac0 * aa
-        va = va + fac1 * aa
+        if mode == "fp_solve":
+            # FSI fixed-point inner solve (FixedPointSolve2,
+            # ode.cpp:81-111): Newton at the alpha state the session
+            # predicted once per step (carry["xa"]/["va"]), warm-started
+            # from the previous sweep's acceleration.  Predict, preview
+            # and commit stay host-side (api/nonlinear_solid.py).
+            aa, newton_diag = make_newton(carry["xa"], carry["va"], state)(
+                carry["aa"]
+            )
+            return {
+                "aa": aa,
+                "newton": dict(
+                    newton_diag, finite=jnp.all(jnp.isfinite(aa))
+                ),
+            }
+        if mode == "fp_commit":
+            # AdvanceTime2 commit (ode.cpp:148-187): corrector + state
+            # accumulation + contact observability at the converged
+            # alpha state of the last fp_solve
+            aa = carry["aa"]
+            newton_diag = carry["newton"]
+            xa = carry["xa"] + fac0 * aa
+            va = carry["va"] + fac1 * aa
+        else:
+            xa = u + (v + f["fac0"] * dt * a) * f["fac1"] * dt
+            va = v + f["fac2"] * dt * a
+            if has_cv:
+                # apply: at alpha level aa=0 (rows are masked),
+                # va = v_bc, xa = x + v_bc*dt; restored after corrector
+                xa = jnp.where(cvm > 0, xa_cv, xa)
+                va = jnp.where(cvm > 0, cvv, va)
+            aa, newton_diag = make_newton(xa, va, state)(
+                jnp.zeros_like(u)
+            )
+            xa = xa + fac0 * aa
+            va = va + fac1 * aa
         u_new = u * prev_fac + f["fac1_inv"] * xa
         v_new = v * prev_fac + f["fac1_inv"] * va
         a_new = a * prev_fac + f["fac5_inv"] * aa
@@ -1908,18 +1939,11 @@ def make_step(
             "contact": contact_aux,
         }
 
-    jitted = jax.jit(impl)
+    jitted = jax.jit(impl, static_argnames=("mode",))
 
-    def step(carry, contact_scenes=None, rhs=None, penalties=None):
-        """One generalized-alpha step.  contact_scenes: fresh per-block
-        scene data (rigid-tool sweeps).  rhs: override of the
-        body-force/traction right-hand side (n_dof, dim) — the FSI /
-        linear-form-view steering hook (the reference writes through
-        LinearFormView2, py_solid.cpp:363-388).  penalties: per-block
-        contact penalty override (augmented-Lagrange outer loops mutate
-        scene.coefficient between steps)."""
+    def _override(contact_scenes, rhs, penalties):
         if contact_scenes is None and rhs is None and penalties is None:
-            return jitted(carry, data)
+            return data
         d = dict(data)
         if contact_scenes is not None or penalties is not None:
             sc = contact_scenes or [cd["scene"] for cd in data["contact"]]
@@ -1930,8 +1954,44 @@ def make_step(
             ]
         if rhs is not None:
             d["rhs"] = jnp.asarray(rhs, prob.rhs.dtype)
-        return jitted(carry, d)
+        return d
 
+    def step(carry, contact_scenes=None, rhs=None, penalties=None):
+        """One generalized-alpha step.  contact_scenes: fresh per-block
+        scene data (rigid-tool sweeps).  rhs: override of the
+        body-force/traction right-hand side (n_dof, dim) — the FSI /
+        linear-form-view steering hook (the reference writes through
+        LinearFormView2, py_solid.cpp:363-388).  penalties: per-block
+        contact penalty override (augmented-Lagrange outer loops mutate
+        scene.coefficient between steps)."""
+        return jitted(carry, _override(contact_scenes, rhs, penalties))
+
+    def fp_solve(carry, contact_scenes=None, rhs=None, penalties=None):
+        """FSI fixed-point inner solve (FixedPointSolve2,
+        ode.cpp:81-111) through the compiled core.  `carry` additionally
+        holds the session-predicted alpha state "xa"/"va" and the warm
+        start "aa"; returns {"aa", "newton"}.  rhs steering between
+        sweeps is the whole point of the trio — pass the fresh loads
+        each call."""
+        return jitted(
+            carry,
+            _override(contact_scenes, rhs, penalties),
+            mode="fp_solve",
+        )
+
+    def fp_commit(carry, contact_scenes=None, rhs=None, penalties=None):
+        """AdvanceTime2 commit (ode.cpp:148-187): corrector + material
+        state accumulation + contact observability at the converged
+        alpha state.  `carry` holds "xa"/"va"/"aa"/"newton" from the
+        last fp_solve; returns a regular step carry."""
+        return jitted(
+            carry,
+            _override(contact_scenes, rhs, penalties),
+            mode="fp_commit",
+        )
+
+    step.fp_solve = fp_solve
+    step.fp_commit = fp_commit
     return step
 
 

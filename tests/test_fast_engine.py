@@ -215,6 +215,39 @@ def test_fast_engine_contact_forces_export():
     )
 
 
+def test_fast_engine_fixed_point_trio():
+    """FSI fixed-point trio (FixedPointSolve2/Advance2/AdvanceTime2,
+    ode.cpp:81-187) through the compiled core: repeated solves with rhs
+    steering between sweeps, a non-committing preview, then a commit —
+    trajectory and previews must match the interactive engine."""
+    def bc_fn(bc):
+        bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+        bc.initial.body_force(1, -5)
+
+    runs = {}
+    for fast in (False, True):
+        nl = _session(fast, bc_fn=bc_fn)
+        lf = nl.linear_form_view2("rhs")
+        previews = []
+        for i in range(3):
+            nl.fixed_point_solve2()
+            fx, fv = nl.fixed_point_advance2()  # non-committing preview
+            previews.append((fx.copy(), fv.copy()))
+            lf[:] = lf * 0.9  # FSI load exchange between sweeps
+            nl.fixed_point_solve2()  # re-solve at the updated load
+            nl.advance_time2()
+        runs[fast] = (np.asarray(nl._system.u), previews)
+        if fast:
+            assert nl._system._fast is not None  # engine engaged
+            assert nl._system._fast.get("fp") is not None
+    u_i, pv_i = runs[False]
+    u_f, pv_f = runs[True]
+    assert np.allclose(u_i, u_f, atol=1e-8), np.abs(u_i - u_f).max()
+    for (xi, vi), (xf, vf) in zip(pv_i, pv_f):
+        assert np.allclose(xi, xf, atol=1e-8), np.abs(xi - xf).max()
+        assert np.allclose(vi, vf, atol=1e-8), np.abs(vi - vf).max()
+
+
 def test_fast_engine_linear_form_view_steering():
     """FSI-style steering: writing the rhs through linear_form_view2
     reaches the compiled core via the step's rhs override."""

@@ -82,6 +82,105 @@ def _phase(msg):
     sys.stderr.flush()
 
 
+def _src_fingerprint():
+    """Hash of every mimi_tpu/native source file: the host-build cache
+    key must invalidate whenever code that shapes the built tables
+    changes, but survive commits that only touch docs/bench/tests."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for top in ("mimi_tpu", "native"):
+        root_dir = os.path.join(HERE, top)
+        for root, _, files in sorted(os.walk(root_dir)):
+            for f in sorted(files):
+                if f.endswith((".py", ".cpp", ".c", ".h")):
+                    with open(os.path.join(root, f), "rb") as fh:
+                        h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+# Problem fields holding device-array pytrees (converted to numpy at
+# save, back to jnp at load); everything else pickles as-is.  The
+# contact_static "query" closures are stripped and rebuilt by the
+# caller from the (cheap) scene.
+_PROB_DEVICE_FIELDS = (
+    "dN_dX", "w_detJ", "N", "mass_blocks", "rhs", "free",
+    "visc_blocks", "cv_mask", "cv_vals", "state0", "contact",
+)
+
+
+def _hostbuild_path(tag):
+    return os.path.join(
+        HERE, ".jax_cache", f"hostbuild-{tag}-{_src_fingerprint()}.pkl"
+    )
+
+
+def _hostbuild_cached(tag):
+    try:
+        return os.path.exists(_hostbuild_path(tag))
+    except Exception:
+        return False
+
+
+def _cached_build(tag, builder, material):
+    """Disk-cache the (15-min at 48^3) host-side problem build.  Any
+    failure on the load or save path falls back to plain building —
+    the cache can never make the bench wrong or break it.
+
+    `material` is the caller's FRESH (pre-setup) material: it is not
+    pickled (setup() attaches closures); on a cache hit it is set up
+    for the cached problem's dim and attached, reproducing exactly what
+    build_problem does (sharding.py build_problem: material.setup(dim);
+    the state0 init_state arrays are cached)."""
+    import dataclasses
+    import pickle
+
+    import numpy as np
+
+    path = _hostbuild_path(tag)
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                d = pickle.load(f)
+            for k in _PROB_DEVICE_FIELDS:
+                d[k] = jax.tree.map(jnp.asarray, d[k])
+            material.setup(d["dim"])
+            d["material"] = material
+            from mimi_tpu.parallel.sharding import Problem
+
+            prob = Problem(**d)
+            _phase(f"host build cache hit ({tag})")
+            return prob
+        except Exception as e:  # stale/corrupt: rebuild
+            print(
+                f"# host-build cache load failed ({e!r}); rebuilding",
+                file=sys.stderr,
+            )
+    prob = builder()
+    try:
+        d = {}
+        for fld in dataclasses.fields(prob):
+            v = getattr(prob, fld.name)
+            if fld.name in _PROB_DEVICE_FIELDS:
+                v = jax.tree.map(np.asarray, v)
+            elif fld.name == "material":
+                continue
+            elif fld.name == "contact_static":
+                v = [
+                    {k: s[k] for k in s if k != "query"} for s in v
+                ]
+            d[fld.name] = v
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(d, f, protocol=4)
+        os.replace(tmp, path)
+        _phase(f"host build cached ({tag})")
+    except Exception as e:
+        print(f"# host-build cache save failed ({e!r})", file=sys.stderr)
+    return prob
+
+
 def _jc_material():
     import mimi_tpu as mimi
 
@@ -104,18 +203,22 @@ def _jc_material():
 def _build(subdiv, spans=None):
     from mimi_tpu.parallel import sharding as sh
 
-    prob = sh.build_problem(
-        os.path.join(HERE, "tests", "data", "cube-nurbs.mesh"),
-        elevate=1,
-        subdivide=subdiv,
-        material=_jc_material(),
-        dirichlet=[(1, 0), (1, 1), (1, 2)],
-        body_force={1: -3.0},
-        rho_inf=0.5,
-        dtype=jnp.float32,
-        refine_spans=spans,
-    )
-    return prob
+    mat = _jc_material()
+
+    def builder():
+        return sh.build_problem(
+            os.path.join(HERE, "tests", "data", "cube-nurbs.mesh"),
+            elevate=1,
+            subdivide=subdiv,
+            material=mat,
+            dirichlet=[(1, 0), (1, 1), (1, 2)],
+            body_force={1: -3.0},
+            rho_inf=0.5,
+            dtype=jnp.float32,
+            refine_spans=spans,
+        )
+
+    return _cached_build(f"body-s{subdiv}-r{spans}", builder, mat)
 
 
 NEWTON_ITERS = 4
@@ -164,18 +267,27 @@ def _build_contact(spans):
     scene.add_spline(tool)
     scene.plant_kd_tree(max(spans, 8), 1)
     scene.coefficient = 5e7
-    prob = sh.build_problem(
-        os.path.join(HERE, "tests", "data", "cube-nurbs.mesh"),
-        elevate=1,
-        subdivide=0,
-        refine_spans=spans,
-        material=mat,
-        dirichlet=[(0, 0), (0, 1), (0, 2)],
-        body_force={},
-        rho_inf=0.5,
-        dtype=jnp.float32,
-        contact=[(1, scene)],
-    )
+
+    def builder():
+        return sh.build_problem(
+            os.path.join(HERE, "tests", "data", "cube-nurbs.mesh"),
+            elevate=1,
+            subdivide=0,
+            refine_spans=spans,
+            material=mat,
+            dirichlet=[(0, 0), (0, 1), (0, 2)],
+            body_force={},
+            rho_inf=0.5,
+            dtype=jnp.float32,
+            contact=[(1, scene)],
+        )
+
+    prob = _cached_build(f"contact-r{spans}", builder, mat)
+    # a cache hit strips the (unpicklable) closest-point query closure;
+    # rebuild it from the scene, which is reconstructed above anyway
+    for st in prob.contact_static:
+        if "query" not in st:
+            st["query"] = scene.make_batched_query()
     return prob, scene, tool
 
 
@@ -420,7 +532,12 @@ def main():
     # Historical cost ~60 s warm-cache (compile fetch + engage + 5
     # steps at ~2 s/step).
     if os.environ.get("MIMI_BENCH_CONTACT", "1") != "0":
-        if _remaining() > 90.0:
+        # warm-cache cost is ~60-90 s; a host-build cache MISS at 48^3
+        # costs ~15 min on this one-core host, so only start the
+        # section cold when the budget can absorb that
+        c_spans = spans if spans > 0 else 2**subdiv
+        need = 90.0 if _hostbuild_cached(f"contact-r{c_spans}") else 1200.0
+        if _remaining() > need:
             try:
                 extra.update(
                     _bench_contact(

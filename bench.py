@@ -83,20 +83,110 @@ def _phase(msg):
 
 
 def _src_fingerprint():
-    """Hash of every mimi_tpu/native source file: the host-build cache
-    key must invalidate whenever code that shapes the built tables
-    changes, but survive commits that only touch docs/bench/tests."""
+    """Hash of the host-build-RELEVANT code only — the cache must
+    invalidate when anything that shapes the pickled Problem fields
+    changes (quadrature/space tables: fem/ nurbs/ splines/ native/;
+    pickled contact scene data: contact/scene.py; the builder itself,
+    and the build side of the pickled fdm dict: getsource of those
+    functions) and must SURVIVE perf commits in make_step / ops/ /
+    solver apply paths, so a warmed multi-GB 48^3 cache outlives an
+    optimization round.  Builder kwargs and material parameters (+ the
+    material class sources, which define the pickled state0 layout) are
+    folded in per-config by _cached_build's key_parts (ADVICE r4).
+    NOT covered by construction: monkeypatching, env vars read at build
+    time — none exist on the build path today."""
     import hashlib
+    import inspect
 
     h = hashlib.sha256()
-    for top in ("mimi_tpu", "native"):
+    for top in (
+        os.path.join("mimi_tpu", "fem"),
+        os.path.join("mimi_tpu", "nurbs"),
+        os.path.join("mimi_tpu", "splines"),
+        "native",
+    ):
         root_dir = os.path.join(HERE, top)
         for root, _, files in sorted(os.walk(root_dir)):
             for f in sorted(files):
                 if f.endswith((".py", ".cpp", ".c", ".h")):
                     with open(os.path.join(root, f), "rb") as fh:
                         h.update(fh.read())
+    with open(
+        os.path.join(HERE, "mimi_tpu", "contact", "scene.py"), "rb"
+    ) as fh:
+        h.update(fh.read())
+    from mimi_tpu.parallel import sharding as sh
+    from mimi_tpu.solvers import fdm as fdm_mod
+
+    for obj in (
+        sh.Problem,
+        sh.build_problem,
+        sh._merge_dirichlet,
+        fdm_mod._assemble_1d,
+        fdm_mod.build_fdm_data,
+        fdm_mod.build_fdm_data_multipatch,
+    ):
+        h.update(inspect.getsource(obj).encode())
     return h.hexdigest()[:16]
+
+
+def _params_key(*parts):
+    """Deterministic repr of builder kwargs/objects for the cache key.
+    Objects (materials, hardening, scenes, splines) flatten to their
+    class name + class source + plain-data attrs; device arrays and
+    callables reduce to type names (closures are rebuilt on load
+    anyway)."""
+    import inspect
+
+    def flat(o):
+        if isinstance(o, (int, float, str, bool, type(None))):
+            return repr(o)
+        if isinstance(o, (list, tuple)):
+            return "[" + ",".join(map(flat, o)) + "]"
+        if isinstance(o, dict):
+            return (
+                "{"
+                + ",".join(
+                    f"{k!r}:{flat(v)}" for k, v in sorted(o.items())
+                )
+                + "}"
+            )
+        try:
+            import hashlib as _hl
+            import numpy as _np
+
+            if isinstance(o, _np.ndarray):
+                return (
+                    f"nd{o.shape}{o.dtype}:"
+                    + _hl.sha256(o.tobytes()).hexdigest()[:16]
+                )
+        except Exception:
+            pass
+        if hasattr(o, "__dict__"):
+            src = ""
+            for cls in type(o).__mro__:
+                if cls.__module__.startswith("mimi_tpu"):
+                    try:
+                        src += inspect.getsource(cls)
+                    except Exception:
+                        src += cls.__qualname__
+            import hashlib
+
+            return (
+                type(o).__name__
+                + hashlib.sha256(src.encode()).hexdigest()[:8]
+                + flat(
+                    {
+                        k: v
+                        for k, v in vars(o).items()
+                        if not k.startswith("_")
+                        and not callable(v)
+                    }
+                )
+            )
+        return type(o).__name__
+
+    return flat(parts)
 
 
 # Problem fields holding device-array pytrees (converted to numpy at
@@ -109,20 +199,23 @@ _PROB_DEVICE_FIELDS = (
 )
 
 
-def _hostbuild_path(tag):
-    return os.path.join(
-        HERE, ".jax_cache", f"hostbuild-{tag}-{_src_fingerprint()}.pkl"
-    )
+def _hostbuild_path(tag, key_parts=""):
+    import hashlib
+
+    key = hashlib.sha256(
+        (_src_fingerprint() + key_parts).encode()
+    ).hexdigest()[:16]
+    return os.path.join(HERE, ".jax_cache", f"hostbuild-{tag}-{key}.pkl")
 
 
-def _hostbuild_cached(tag):
+def _hostbuild_cached(tag, key_parts=""):
     try:
-        return os.path.exists(_hostbuild_path(tag))
+        return os.path.exists(_hostbuild_path(tag, key_parts))
     except Exception:
         return False
 
 
-def _cached_build(tag, builder, material):
+def _cached_build(tag, builder, material, key_parts=""):
     """Disk-cache the (15-min at 48^3) host-side problem build.  Any
     failure on the load or save path falls back to plain building —
     the cache can never make the bench wrong or break it.
@@ -137,7 +230,7 @@ def _cached_build(tag, builder, material):
 
     import numpy as np
 
-    path = _hostbuild_path(tag)
+    path = _hostbuild_path(tag, key_parts)
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
@@ -204,21 +297,29 @@ def _build(subdiv, spans=None):
     from mimi_tpu.parallel import sharding as sh
 
     mat = _jc_material()
+    kwargs = dict(
+        elevate=1,
+        subdivide=subdiv,
+        material=mat,
+        dirichlet=[(1, 0), (1, 1), (1, 2)],
+        body_force={1: -3.0},
+        rho_inf=0.5,
+        dtype=jnp.float32,
+        refine_spans=spans,
+    )
+    key_parts = _params_key(
+        "cube-nurbs.mesh", {**kwargs, "dtype": "f32"}
+    )
 
     def builder():
         return sh.build_problem(
             os.path.join(HERE, "tests", "data", "cube-nurbs.mesh"),
-            elevate=1,
-            subdivide=subdiv,
-            material=mat,
-            dirichlet=[(1, 0), (1, 1), (1, 2)],
-            body_force={1: -3.0},
-            rho_inf=0.5,
-            dtype=jnp.float32,
-            refine_spans=spans,
+            **kwargs,
         )
 
-    return _cached_build(f"body-s{subdiv}-r{spans}", builder, mat)
+    return _cached_build(
+        f"body-s{subdiv}-r{spans}", builder, mat, key_parts
+    )
 
 
 NEWTON_ITERS = 4
@@ -241,13 +342,11 @@ def _time_steps(prob, step, n_steps):
     return dt_wall
 
 
-def _build_contact(spans):
-    """The BASELINE.json headline config: ~1e5-element 3D J2 CONTACT
-    sweep — 48^3 cube pressed by a moving rigid bilinear tool (config
-    of scripts/bench_contact_scale.py)."""
+def _contact_cfg(spans):
+    """Shared contact-bench config: material, tool, scene and the cache
+    key (the budget check in main() and the bench itself must agree)."""
     import mimi_tpu as mimi
     from mimi_tpu.splines import Bezier
-    from mimi_tpu.parallel import sharding as sh
 
     mat = _jc_material()
     mat.density = 1e3
@@ -267,6 +366,31 @@ def _build_contact(spans):
     scene.add_spline(tool)
     scene.plant_kd_tree(max(spans, 8), 1)
     scene.coefficient = 5e7
+    key_parts = _params_key(
+        "cube-nurbs.mesh",
+        dict(
+            elevate=1,
+            subdivide=0,
+            refine_spans=spans,
+            material=mat,
+            dirichlet=[(0, 0), (0, 1), (0, 2)],
+            body_force={},
+            rho_inf=0.5,
+            dtype="f32",
+            contact_bid=1,
+            scene=scene,
+        ),
+    )
+    return mat, scene, tool, key_parts
+
+
+def _build_contact(spans):
+    """The BASELINE.json headline config: ~1e5-element 3D J2 CONTACT
+    sweep — 48^3 cube pressed by a moving rigid bilinear tool (config
+    of scripts/bench_contact_scale.py)."""
+    from mimi_tpu.parallel import sharding as sh
+
+    mat, scene, tool, key_parts = _contact_cfg(spans)
 
     def builder():
         return sh.build_problem(
@@ -282,7 +406,7 @@ def _build_contact(spans):
             contact=[(1, scene)],
         )
 
-    prob = _cached_build(f"contact-r{spans}", builder, mat)
+    prob = _cached_build(f"contact-r{spans}", builder, mat, key_parts)
     # a cache hit strips the (unpicklable) closest-point query closure;
     # rebuild it from the scene, which is reconstructed above anyway
     for st in prob.contact_static:
@@ -536,7 +660,15 @@ def main():
         # costs ~15 min on this one-core host, so only start the
         # section cold when the budget can absorb that
         c_spans = spans if spans > 0 else 2**subdiv
-        need = 90.0 if _hostbuild_cached(f"contact-r{c_spans}") else 1200.0
+        try:
+            _c_key = _contact_cfg(c_spans)[3]
+        except Exception:
+            _c_key = ""
+        need = (
+            90.0
+            if _hostbuild_cached(f"contact-r{c_spans}", _c_key)
+            else 1200.0
+        )
         if _remaining() > need:
             try:
                 extra.update(

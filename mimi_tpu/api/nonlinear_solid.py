@@ -890,6 +890,12 @@ class _System:
             # aa persists ACROSS steps (the interactive path never
             # resets self.aa at predict — warm start, ode.cpp:81-111)
             aa = fp["aa"] if fp is not None else jnp.zeros_like(u)
+            if prob.cv_mask is not None:
+                # constant-velocity rows: aa = 0 at predict, like the
+                # interactive _DynamicDirichlet.apply (ode.cpp zeroes
+                # d2xdt2 on the constrained rows) — not left to the
+                # identity-masked-update induction
+                aa = jnp.where(jnp.asarray(prob.cv_mask) > 0, 0.0, aa)
             fp = {"xa": xa, "va": va, "aa": aa, "predict": False}
             fast["fp"] = fp
         carry["xa"], carry["va"], carry["aa"] = (
@@ -905,6 +911,12 @@ class _System:
         self._fast_check_finite(out["newton"])
         fp["aa"] = out["aa"]
         fp["newton"] = out["newton"]
+        # the scene the converged solve actually saw: commit-time contact
+        # observability (forces/pressure — mortar_contact.cpp:469-488
+        # 'last assembly' semantics) must use THIS, not a re-read of the
+        # live scene an FSI driver may have mutated between solve and
+        # AdvanceTime2
+        fp["scenes"], fp["penalties"] = scenes, penalties
         self.dt = dt
         nd = out["newton"]
         self.newton.initial_norm = float(nd["norm0"])
@@ -957,7 +969,12 @@ class _System:
             fp["xa"], fp["va"], fp["aa"],
         )
         carry["newton"] = fp["newton"]
-        scenes, penalties = self._fast_scene_args(dtype)
+        # reuse the scene args from the last fp_solve (see the note
+        # there): commit recomputes contact aux against the solved scene
+        scenes = fp.get("scenes")
+        penalties = fp.get("penalties")
+        if scenes is None:
+            scenes, penalties = self._fast_scene_args(dtype)
         carry = step.fp_commit(
             carry,
             contact_scenes=scenes,

@@ -248,6 +248,30 @@ def test_fast_engine_fixed_point_trio():
         assert np.allclose(vi, vf, atol=1e-8), np.abs(vi - vf).max()
 
 
+def test_fast_engine_fixed_point_trio_constant_velocity():
+    """Trio with a constant-velocity (dynamic Dirichlet) face: guards
+    the predict-time aa=0 masking on cv rows (ADVICE r4 — previously an
+    induction invariant held at a distance in the solver internals)."""
+    def bc_fn(bc):
+        bc.initial.dirichlet(2, 0).dirichlet(2, 1)
+        bc.initial.constant_velocity(3, 1, 0.05)
+        bc.initial.body_force(1, -2)
+
+    runs = {}
+    for fast in (False, True):
+        nl = _session(fast, bc_fn=bc_fn)
+        for _ in range(3):
+            nl.fixed_point_solve2()
+            nl.fixed_point_solve2()  # FSI re-solve sweep
+            nl.advance_time2()
+        runs[fast] = np.asarray(nl._system.u)
+        if fast:
+            assert nl._system._fast is not None
+    assert np.allclose(runs[False], runs[True], atol=1e-8), (
+        np.abs(runs[False] - runs[True]).max()
+    )
+
+
 def test_fast_engine_linear_form_view_steering():
     """FSI-style steering: writing the rhs through linear_form_view2
     reaches the compiled core via the step's rhs override."""

@@ -1,11 +1,14 @@
-"""Pallas fused-residual kernel vs f64 reference (interpret mode on CPU)."""
+"""Pallas fused-residual kernel vs f64 reference (interpret mode on CPU).
+
+All but the smoke test are slow-marked (interpret-mode pallas: ~8 min
+for the full file on this host); test_pallas_sweeps_smoke runs in the
+default tier so `pytest -q` always exercises the engine of record
+(VERDICT r4 weak #4)."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-
-pytestmark = pytest.mark.slow  # interpret-mode pallas: ~8 min on this host
 
 import mimi_tpu as mimi
 from mimi_tpu.ops.pallas_residual import neohookean_residual_pallas
@@ -14,7 +17,111 @@ import os
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
+slow = pytest.mark.slow
 
+
+def test_pallas_sweeps_smoke():
+    """DEFAULT-TIER smoke of ops/sweeps.py — one residual, one
+    assemble (residual+tangent) and one matvec sweep, interpret mode,
+    8 elements, against the same SoA math in plain jnp.  Guards the
+    kernels every headline number runs through without the slow tier."""
+    from mimi_tpu.parallel import sharding as sh
+    from mimi_tpu.ops import sweeps
+
+    mat = mimi.J2Linear()
+    mat.density = 2.0
+    mat.viscosity = -1
+    mat.set_young_poisson(2100, 0.3)
+    mat.sigma_y = 5.0  # low yield: the radial return actually fires
+    mat.isotropic_hardening = 100.0
+    prob = sh.build_problem(
+        os.path.join(DATA, "cube-nurbs.mesh"),
+        1,
+        1,
+        mat,
+        [(1, 0), (1, 1), (1, 2)],
+        {1: -3.0},
+        dtype=jnp.float32,
+        pad_multiple=8,
+    )
+    dim, n_el, n_q = prob.dim, prob.n_el, prob.n_q
+    nd = int(prob.conn.shape[1])
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(
+        0.05 * rng.standard_normal((prob.n_dof, dim)), jnp.float32
+    )
+    a = jnp.asarray(
+        0.5 * rng.standard_normal((prob.n_dof, dim)), jnp.float32
+    )
+    w = jnp.asarray(
+        rng.standard_normal((prob.n_dof, dim)), jnp.float32
+    )
+    connT = np.ascontiguousarray(prob.conn.T)
+    dN_t = jnp.asarray(np.transpose(prob.dN_dX, (2, 3, 1, 0)).copy())
+    N_t = jnp.asarray(np.transpose(prob.N, (2, 1, 0)).copy())
+    wdet_t = jnp.asarray(np.ascontiguousarray(prob.w_detJ.T))
+    gt = lambda x: x.T[:, connT]  # (dim, nd, n_el)
+    u_el, a_el, w_el = gt(u), gt(a), gt(w)
+    state = prob.state0
+    rho = float(mat.density)
+
+    # plain-jnp SoA reference of the identical math
+    F = jnp.einsum("ndqe,cne->cdqe", dN_t, u_el) + jnp.eye(
+        dim, dtype=jnp.float32
+    )[:, :, None, None]
+    P_ref, jvp = jax.linearize(
+        lambda Ft: mat.pk1_soa(Ft, state, 0.05), F
+    )
+    aq = jnp.einsum("nqe,cne->cqe", N_t, a_el)
+    y_ref = jnp.einsum(
+        "qe,ndqe,cdqe->cne", wdet_t, dN_t, P_ref
+    ) + rho * jnp.einsum("qe,nqe,cqe->cne", wdet_t, N_t, aq)
+
+    kw = dict(
+        mat=mat, dt=0.05, dim=dim, nd=nd, n_q=n_q, n_el=n_el,
+        rho=rho, mu_v=0.0, has_visc=False, state=state,
+        block_e=8, interpret=True,
+    )
+    res = sweeps.make_residual_sweep(**kw)
+    y = res(u_el, a_el, None, state, dN_t, N_t, wdet_t)
+    scale = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y - y_ref).max()) < 1e-4 * scale
+
+    asm = sweeps.make_assemble_sweep(**kw)
+    y2, C = asm(u_el, a_el, None, state, dN_t, N_t, wdet_t)
+    assert float(jnp.abs(y2 - y_ref).max()) < 1e-4 * scale
+
+    # matvec vs jvp of the reference residual at frozen state
+    mv = sweeps.make_matvec_sweep(
+        dim=dim, nd=nd, n_q=n_q, n_el=n_el, rho=rho, fac0=1.0,
+        fac1_mu_v=0.0, has_visc=False, block_e=8, interpret=True,
+    )
+    y_mv = mv(w_el, dN_t, N_t, wdet_t, C)
+    dF = jnp.einsum("ndqe,cne->cdqe", dN_t, w_el)
+    dP = jvp(dF)
+    wq = jnp.einsum("nqe,cne->cqe", N_t, w_el)
+    y_mv_ref = jnp.einsum(
+        "qe,ndqe,cdqe->cne", wdet_t, dN_t, dP
+    ) + rho * jnp.einsum("qe,nqe,cqe->cne", wdet_t, N_t, wq)
+    mv_scale = float(jnp.abs(y_mv_ref).max())
+    assert float(jnp.abs(y_mv - y_mv_ref).max()) < 1e-3 * mv_scale
+    # the run exercised the plastic branch, not just elasticity: at an
+    # elastic-only yield the stress would differ
+    mat_el = mimi.J2Linear()
+    mat_el.density = 2.0
+    mat_el.viscosity = -1
+    mat_el.set_young_poisson(2100, 0.3)
+    mat_el.sigma_y = 1e9
+    mat_el.isotropic_hardening = 100.0
+    mat_el.setup(dim)
+    from mimi_tpu.fem import soa as _soa
+    P_el = mat_el.pk1_soa(
+        F, _soa.state_to_soa(mat_el.init_state((n_el, n_q))), 0.05
+    )
+    assert float(jnp.abs(P_ref - P_el).max()) > 1e-3 * scale
+
+
+@slow
 def test_pallas_neohookean_residual_interpret():
     from mimi_tpu.parallel import sharding as sh
 
@@ -67,6 +174,7 @@ def test_pallas_neohookean_residual_interpret():
     assert err < 1e-4 * max(1.0, np.abs(r64).max()), err
 
 
+@slow
 def test_make_step_pallas_residual_matches_xla():
     """residual_impl='pallas' (interpret mode on CPU) reproduces the XLA
     step trajectory."""
@@ -140,6 +248,7 @@ def test_make_step_pallas_residual_matches_xla():
     assert err < 1e-5, err
 
 
+@slow
 def test_make_step_pallas_bf16_matvec_interpret():
     """matvec_dtype='bf16' (half-width Krylov-operator streams + the
     conv-based matvec scatter on structured grids) stays within the
@@ -180,6 +289,7 @@ def test_make_step_pallas_bf16_matvec_interpret():
     assert err < 2e-2 * max(scale, 1e-6), (err, scale)
 
 
+@slow
 def test_make_step_pallas_j2_scalar_solve_interpret():
     """The in-kernel J2 radial return (kernel_solver_mode fixed-trip
     scalar solve + lax.cond plastic gating) vs the soa engine — the
@@ -231,6 +341,7 @@ def test_make_step_pallas_j2_scalar_solve_interpret():
     assert float(jnp.abs(eqps_p - eqps).max()) < 1e-5
 
 
+@slow
 def test_pallas_neohookean_tangent_apply_interpret():
     """Fused tangent-apply kernel vs jvp of the f64 residual."""
     from mimi_tpu.parallel import sharding as sh
@@ -290,6 +401,7 @@ def test_pallas_neohookean_tangent_apply_interpret():
     assert err < 1e-4 * max(1.0, np.abs(y64).max()), err
 
 
+@slow
 def test_make_step_pallas_symmetric_tangent_storage():
     """tangent_storage='sym' (45 upper-triangle planes instead of 81,
     VERDICT r4 #3): exact for major-symmetric dP/dF, so the step
@@ -340,6 +452,7 @@ def test_make_step_pallas_symmetric_tangent_storage():
         )
 
 
+@slow
 def test_tangent_major_symmetry_flags():
     """Pins the measured symmetry classification the sym-storage gate
     relies on (round-4 probe, docs/ROADMAP.md): hyperelastic energy

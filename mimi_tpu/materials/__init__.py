@@ -64,6 +64,19 @@ class Material:
     # StVK symmetric to 3e-16; the J2 family asymmetric by 2-16%
     # (Cauchy->PK1 geometric terms), so it stays False there.
     tangent_major_symmetric = False
+    # Cauchy-decomposition tangent storage (VERDICT r4 #3): True when
+    # the material exposes `cauchy_soa` with sigma SYMMETRIC and a
+    # function of F only through sym(F) (small-strain measures), so
+    #   dP = tr(F^-1 dF) P + J (M : sym dF) F^-T - P dF^T F^-T
+    # holds EXACTLY with M = d sigma/d eps the (Voigt-symmetric)
+    # material tangent.  The pallas matvec then streams M's 21 planes
+    # + sigma (6) + F^-1 (9) + J (1) = 37 instead of the 81-plane dP/dF
+    # (ops/sweeps.py c_storage="cauchy") and applies the geometric
+    # transform per-qp in VMEM.  The radial-return consistent tangent
+    # of associated J2 with isotropic(+kinematic) hardening is
+    # major-symmetric (built from I, I(x)I and N(x)N), pinned by
+    # tests/test_pallas.py.
+    tangent_cauchy_decomp = False
 
     def __init__(self):
         self.density = -1.0
@@ -178,6 +191,7 @@ class J2Linear(Material):
     (materials.hpp:142-249, "Computational Methods for Plasticity" box 7.5)."""
 
     has_state = True
+    tangent_cauchy_decomp = True  # sigma = sigma(sym F), symmetric
 
     def __init__(self):
         super().__init__()
@@ -241,11 +255,13 @@ class J2Linear(Material):
         eta_hat = eta / jnp.where(eta_norm > 0.0, eta_norm, 1.0)
         return p, s, eta_hat, dps
 
-    def pk1_soa(self, F, state, dt):
+    def cauchy_soa(self, F, state, dt):
         p, s, eta_hat, dps = self._common_soa(F, state)
         s = s - jnp.sqrt(6.0) * self.G * dps * eta_hat
-        sigma = soa.add_diag(s, p)
-        return _pk1_from_cauchy_soa(sigma, F)
+        return soa.add_diag(s, p)
+
+    def pk1_soa(self, F, state, dt):
+        return _pk1_from_cauchy_soa(self.cauchy_soa(F, state, dt), F)
 
     def accumulate_soa(self, F, state, dt):
         _, _, eta_hat, dps = self._common_soa(F, state)
@@ -363,6 +379,8 @@ class J2(_J2ThermoBase):
     """Small-strain J2, nonlinear isotropic hardening
     (materials.hpp:260-404)."""
 
+    tangent_cauchy_decomp = True  # sigma = sigma(sym F), symmetric
+
     def init_state(self, shape_prefix):
         d = self.dim
         return {
@@ -422,7 +440,7 @@ class J2(_J2ThermoBase):
         q = jnp.sqrt(1.5) * soa.fro_norm(s)
         return p, s, q
 
-    def pk1_soa(self, F, state, dt):
+    def cauchy_soa(self, F, state, dt):
         p, s, q = self._trial_soa(F, state)
         thermo = self.hardening.thermo_contribution(state["temperature"])
         delta, active = self._solve_delta_eqps(
@@ -430,8 +448,10 @@ class J2(_J2ThermoBase):
         )
         N_p = (1.5 / jnp.where(q > 0.0, q, 1.0)) * s
         s = s - 2.0 * self.G * delta * N_p
-        sigma = soa.add_diag(s, p)
-        return _pk1_from_cauchy_soa(sigma, F)
+        return soa.add_diag(s, p)
+
+    def pk1_soa(self, F, state, dt):
+        return _pk1_from_cauchy_soa(self.cauchy_soa(F, state, dt), F)
 
     def accumulate_soa(self, F, state, dt):
         p, s, q = self._trial_soa(F, state)

@@ -116,13 +116,9 @@ def _poison_where_bad(out, norm_est, limit):
     return out * jnp.where(bad, jnp.nan, 1.0)
 
 
-def logm_sym_soa(C, sqrt_levels=2, gregory_terms=8, db_iters=7):
-    """log of SPD C in the SoA layout: trace prescaling, `sqrt_levels`
-    Denman-Beavers square roots, then the Gregory (atanh) series
-        log(A) = 2 sum_k X^(2k+1)/(2k+1),  X = (A - I)(A + I)^{-1}.
-    Out-of-range points are NaN-poisoned (see _LOGM_X_MAX above) so the
-    step-level finite guard reports them instead of silent error.
-    """
+def _logm_core(C, sqrt_levels, gregory_terms, db_iters):
+    """Prescale + square roots + Gregory series; returns (log C, ||X||_F)
+    with X the series argument (the convergence certificate)."""
     d = C.shape[0]
     s = soa.trace(C) / d  # (batch) mean eigenvalue
     A = C / s
@@ -138,22 +134,75 @@ def logm_sym_soa(C, sqrt_levels=2, gregory_terms=8, db_iters=7):
         term = soa.matmul(term, X2)
         acc = acc + term / (2 * k + 1)
     logA = (2.0 ** (sqrt_levels + 1)) * acc
-    out = soa.add_diag(logA, jnp.log(s))
-    return _poison_where_bad(out, soa.fro_norm(X), _LOGM_X_MAX)
+    return soa.add_diag(logA, jnp.log(s)), soa.fro_norm(X)
 
 
-def expm_sym_soa(A, squarings=3, taylor_terms=8):
+def logm_sym_soa(C, sqrt_levels=2, gregory_terms=8, db_iters=7,
+                 escalate=True):
+    """log of SPD C in the SoA layout: trace prescaling, `sqrt_levels`
+    Denman-Beavers square roots, then the Gregory (atanh) series
+        log(A) = 2 sum_k X^(2k+1)/(2k+1),  X = (A - I)(A + I)^{-1}.
+
+    Range escalation (VERDICT r4 #8, the SoA analog of the reference's
+    eigendecomposition path, materials.hpp:583-753): when ANY point
+    exceeds the fast config's convergent domain (||X||_F > 0.40,
+    cond(C) ~ 1e3), a lax.cond re-runs the batch with a deep-series
+    config (5 square-root levels, 14 DB iterations, 12 Gregory terms)
+    convergent out to cond(C) ~ 1e8 — physical-but-extreme stretches
+    complete instead of dying.  An eigh-per-point fallback would need
+    batch-last eigenvectors plus degenerate-eigenvalue JVP handling and
+    does not legalize in Mosaic; the deep series is smooth, already
+    AD-clean, and costs nothing when all points are in range (the cond
+    skips it).  Points beyond even the deep range are NaN-poisoned so
+    the step-level finite guard reports them (clear out-of-model error)
+    rather than returning silently wrong values.
+    """
+    out, xn = _logm_core(C, sqrt_levels, gregory_terms, db_iters)
+    if not escalate:
+        return _poison_where_bad(out, xn, _LOGM_X_MAX)
+
+    def _easy(_):
+        # in-range points only reach here; no poison branch needed, but
+        # keep non-finite inputs poisoned (NaN * 1.0 stays NaN)
+        return out
+
+    def _hard(_):
+        out2, xn2 = _logm_core(C, 5, 12, 14)
+        return _poison_where_bad(out2, xn2, _LOGM_X_MAX)
+
+    any_bad = jnp.any(~(xn <= _LOGM_X_MAX))
+    return jax.lax.cond(any_bad, _hard, _easy, None)
+
+
+def expm_sym_soa(A, squarings=3, taylor_terms=8, escalate=True):
     """exp of symmetric A (SoA layout) by scaling-and-squaring with a
     Taylor core; accurate to roundoff for ||A||_F <= 4.4 (the
     exponential-map plastic increments it serves satisfy
-    ||delta N_p|| << 1); larger arguments are NaN-poisoned (see
-    _EXPM_A_MAX above)."""
-    B = A / (2.0 ** squarings)
-    acc = soa.add_diag(B * 0.0, 1.0)
-    term = acc
-    for k in range(1, taylor_terms + 1):
-        term = soa.matmul(term, B) / k
-        acc = acc + term
-    for _ in range(squarings):
-        acc = soa.matmul(acc, acc)
-    return _poison_where_bad(acc, soa.fro_norm(A), _EXPM_A_MAX)
+    ||delta N_p|| << 1).  Larger arguments escalate to a deeper
+    scaling (7 squarings, range ||A||_F <= 70) under a lax.cond, like
+    logm_sym_soa; beyond that they are NaN-poisoned."""
+
+    def _core(sq, terms):
+        B = A / (2.0 ** sq)
+        acc = soa.add_diag(B * 0.0, 1.0)
+        term = acc
+        for k in range(1, terms + 1):
+            term = soa.matmul(term, B) / k
+            acc = acc + term
+        for _ in range(sq):
+            acc = soa.matmul(acc, acc)
+        return acc
+
+    nrm = soa.fro_norm(A)
+    out = _core(squarings, taylor_terms)
+    if not escalate:
+        return _poison_where_bad(out, nrm, _EXPM_A_MAX)
+
+    def _easy(_):
+        return out
+
+    def _hard(_):
+        return _poison_where_bad(_core(7, 10), nrm, 70.0)
+
+    any_bad = jnp.any(~(nrm <= _EXPM_A_MAX))
+    return jax.lax.cond(any_bad, _hard, _easy, None)

@@ -68,6 +68,37 @@ def tri_index_map(d2: int):
     return idx, k
 
 
+def sym_basis(dim: int):
+    """Symmetric-tensor basis index pairs, row-major upper triangle:
+    dim 3 -> [(0,0),(0,1),(0,2),(1,1),(1,2),(2,2)].  The m-th basis
+    tensor is S_m = e_ij + e_ji (i != j) or e_ii, so the coefficients of
+    sym(dF) in this basis are dF_ii / 0.5 (dF_ij + dF_ji) directly."""
+    return [(i, j) for i in range(dim) for j in range(i, dim)]
+
+
+def cauchy_plane_layout(dim: int):
+    """Plane layout of the Cauchy-decomposition tangent block
+    (c_storage="cauchy", see Material.tangent_cauchy_decomp):
+    [0:n_tri)            M = d sigma/d eps, upper triangle over the
+                         sym_basis x sym_basis Voigt matrix (major-
+                         symmetric for associated J2 — pinned by test)
+    [n_tri:n_tri+n_sym)  sigma entries in sym_basis order
+    [+dim*dim)           F^{-1} row-major
+    [last]               J = det F
+    Total: dim 3 -> 21 + 6 + 9 + 1 = 37 planes (vs 81 full)."""
+    n_sym = dim * (dim + 1) // 2
+    tri, n_tri = tri_index_map(n_sym)
+    return {
+        "sym": sym_basis(dim),
+        "tri": tri,
+        "n_tri": n_tri,
+        "off_sig": n_tri,
+        "off_fi": n_tri + n_sym,
+        "off_j": n_tri + n_sym + dim * dim,
+        "n_plane": n_tri + n_sym + dim * dim + 1,
+    }
+
+
 def _grad_interp(dim, nd, w_ref, dn_ref):
     """dF[g,f](q, be) = sum_n w[g,n](be) dN[n,f](q, be).
 
@@ -225,19 +256,26 @@ def make_assemble_sweep(
     Krylov iteration); the residual and all in-kernel arithmetic stay
     float32.
 
-    c_storage: "full" (d2, d2, q, e) or "sym" — upper-triangle planes
-    (d2*(d2+1)//2, q, e), storing (C + C^T)/2.  Exact for materials
-    with major-symmetric dP/dF (hyperelastic energy Hessians:
-    `Material.tangent_major_symmetric`); measured round 4: NeoHookean/
-    StVK are symmetric to 3e-16 while the J2 family's Cauchy->PK1
-    geometric terms break symmetry by 2-16% (docs/ROADMAP.md), so sym
-    storage is gated to the flagged materials."""
+    c_storage: "full" (d2, d2, q, e); "sym" — upper-triangle planes
+    (d2*(d2+1)//2, q, e), storing (C + C^T)/2, exact for materials with
+    major-symmetric dP/dF (hyperelastic energy Hessians:
+    `Material.tangent_major_symmetric`; measured round 4: NeoHookean/
+    StVK symmetric to 3e-16 while the J2 family's Cauchy->PK1 geometric
+    terms break symmetry by 2-16%, docs/ROADMAP.md); or "cauchy" — the
+    decomposition block of cauchy_plane_layout (37 planes at dim 3):
+    the Voigt material tangent M = d sigma/d eps from 6 symmetric
+    linearize seeds of `mat.cauchy_soa`, plus sigma, F^{-1} and J, with
+    the exact geometric transform applied per-qp in the matvec kernel.
+    Exact for `Material.tangent_cauchy_decomp` materials (small-strain
+    J2 family: sigma symmetric, a function of sym(F) only)."""
     import jax.tree_util as jtu
 
     block_e = block_e or pick_block_e(n_el)
     d2 = dim * dim
     sym = c_storage == "sym"
+    cauchy = c_storage == "cauchy"
     tri, n_tri = tri_index_map(d2)
+    lay = cauchy_plane_layout(dim)
     state_leaves, treedef = jtu.tree_flatten(state)
     n_state = len(state_leaves)
 
@@ -259,52 +297,106 @@ def make_assemble_sweep(
         st = jtu.tree_unflatten(treedef, [r[...] for r in state_refs])
         from ..materials import kernel_solver_mode
 
-        with kernel_solver_mode():
-            P, jvp_fn = jax.linearize(
-                lambda Ft: mat.pk1_soa(Ft, st, dt), F
-            )
-        # Mosaic-safe tangent columns.  One-hot seeds crash the layout
-        # pass (constant-zero slices fold into rank-degenerate zeros),
-        # and iota/where-built seeds crash it too; stacked jnp.full
-        # planes of {1, 2} survive.  So seed with (one-hot + ones) and
-        # subtract the all-ones direction: C:e_gf = jvp(e_gf+1) - jvp(1).
+        # Mosaic-safe tangent columns (both storages).  One-hot seeds
+        # crash the layout pass (constant-zero slices fold into
+        # rank-degenerate zeros), and iota/where-built seeds crash it
+        # too; stacked jnp.full planes of {1, 2} survive.  So seed with
+        # (basis + ones) and subtract the all-ones direction:
+        # C:S = jvp(S + 1) - jvp(1).
         plane = F.shape[2:]
-        base = jvp_fn(jnp.ones_like(F))
-        for g in range(dim):
-            for f in range(dim):
-                seed = _stack2(
+
+        def seed_for(hot):
+            # hot: set of (i, j) entries that get 2.0 instead of 1.0
+            return _stack2(
+                [
                     [
-                        [
-                            jnp.full(
-                                plane,
-                                2.0 if (i, j) == (g, f) else 1.0,
-                                F.dtype,
-                            )
-                            for j in range(dim)
-                        ]
-                        for i in range(dim)
+                        jnp.full(
+                            plane,
+                            2.0 if (i, j) in hot else 1.0,
+                            F.dtype,
+                        )
+                        for j in range(dim)
                     ]
+                    for i in range(dim)
+                ]
+            )
+
+        if cauchy:
+            with kernel_solver_mode():
+                sig, jvp_fn = jax.linearize(
+                    lambda Ft: mat.cauchy_soa(Ft, st, dt), F
                 )
-                col = jvp_fn(seed)  # C:(e_gf + ones): (dim, dim, q, be)
-                b = g * dim + f
+            base = jvp_fn(jnp.ones_like(F))
+            SYM, tri6 = lay["sym"], lay["tri"]
+            n_sym = len(SYM)
+            for m, (i, j) in enumerate(SYM):
+                col = jvp_fn(seed_for({(i, j), (j, i)}))
+                # col - base = D : S_m with S_m = e_ij + e_ji (i != j)
+                # or e_ii.  Stored is the SYMMETRIC Voigt matrix
+                # D-hat[a, m] = D_{(a)(m)} = (D:S_m)_a / w_m with
+                # w_m = 2 on off-diagonal basis tensors (minor
+                # symmetry); without the 1/w_m the mixed diag/off-diag
+                # blocks break symmetry by exactly w (measured 1.1%
+                # before the fix).  The matvec contracts with the
+                # UNhalved coefficients (dF_ij + dF_ji).
+                wm = 1.0 if i == j else 0.5
+                for a, (ii, jj) in enumerate(SYM):
+                    x = (col[ii, jj] - base[ii, jj]) * wm
+                    if a == m:
+                        c_ref[tri6[(a, m)], :, :] = x.astype(c_dtype)
+                    elif a > m:
+                        # first visit of pair (m, a): half now ...
+                        c_ref[tri6[(m, a)], :, :] = (0.5 * x).astype(
+                            c_dtype
+                        )
+                    else:
+                        # ... accumulate the transpose half (m ascends)
+                        c_ref[tri6[(a, m)], :, :] = c_ref[
+                            tri6[(a, m)], :, :
+                        ] + (0.5 * x).astype(c_dtype)
+            fi = _soa.inv(F)
+            jd = _soa.det(F)
+            for a, (ii, jj) in enumerate(SYM):
+                c_ref[lay["off_sig"] + a, :, :] = sig[ii, jj].astype(
+                    c_dtype
+                )
+            for r in range(dim):
                 for c in range(dim):
-                    for dd in range(dim):
-                        a = c * dim + dd
-                        x = col[c, dd] - base[c, dd]
-                        if not sym:
-                            c_ref[a, b, :, :] = x.astype(c_dtype)
-                        elif a == b:
-                            c_ref[tri[(a, b)], :, :] = x.astype(c_dtype)
-                        elif a > b:
-                            # first visit of pair (b, a): transpose half
-                            c_ref[tri[(b, a)], :, :] = (0.5 * x).astype(
-                                c_dtype
-                            )
-                        else:
-                            # second visit (columns ascend): accumulate
-                            c_ref[tri[(a, b)], :, :] = c_ref[
-                                tri[(a, b)], :, :
-                            ] + (0.5 * x).astype(c_dtype)
+                    c_ref[lay["off_fi"] + r * dim + c, :, :] = fi[
+                        r, c
+                    ].astype(c_dtype)
+            c_ref[lay["off_j"], :, :] = jd.astype(c_dtype)
+            P = jd * _soa.matmul_nt(sig, fi)
+        else:
+            with kernel_solver_mode():
+                P, jvp_fn = jax.linearize(
+                    lambda Ft: mat.pk1_soa(Ft, st, dt), F
+                )
+            base = jvp_fn(jnp.ones_like(F))
+            for g in range(dim):
+                for f in range(dim):
+                    col = jvp_fn(seed_for({(g, f)}))
+                    b = g * dim + f
+                    for c in range(dim):
+                        for dd in range(dim):
+                            a = c * dim + dd
+                            x = col[c, dd] - base[c, dd]
+                            if not sym:
+                                c_ref[a, b, :, :] = x.astype(c_dtype)
+                            elif a == b:
+                                c_ref[tri[(a, b)], :, :] = x.astype(
+                                    c_dtype
+                                )
+                            elif a > b:
+                                # first visit of pair (b, a): half
+                                c_ref[tri[(b, a)], :, :] = (
+                                    0.5 * x
+                                ).astype(c_dtype)
+                            else:
+                                # second visit (columns ascend): add
+                                c_ref[tri[(a, b)], :, :] = c_ref[
+                                    tri[(a, b)], :, :
+                                ] + (0.5 * x).astype(c_dtype)
         P_eff = P
         if has_visc:
             P_eff = P + mu_v * _grad_interp(dim, nd, v_ref, dn_ref)
@@ -317,13 +409,14 @@ def make_assemble_sweep(
     specs, el3 = _common_specs(
         dim, nd, n_q, block_e, has_visc, state_leaves
     )
-    if sym:
+    if sym or cauchy:
+        n_pl = lay["n_plane"] if cauchy else n_tri
         c_spec = pl.BlockSpec(
-            (n_tri, n_q, block_e),
+            (n_pl, n_q, block_e),
             lambda i: (0, 0, i),
             memory_space=pltpu.VMEM,
         )
-        c_shape = jax.ShapeDtypeStruct((n_tri, n_q, n_el), c_dtype)
+        c_shape = jax.ShapeDtypeStruct((n_pl, n_q, n_el), c_dtype)
     else:
         c_spec = pl.BlockSpec(
             (d2, d2, n_q, block_e),
@@ -362,31 +455,107 @@ def make_matvec_sweep(
                          + N[n] rho wq[c]).
 
     c_storage="sym": C arrives as upper-triangle planes (45 instead of
-    81 at dim 3) — cuts the kernel's dominant HBM stream accordingly;
-    see make_assemble_sweep for validity."""
+    81 at dim 3); c_storage="cauchy": the 37-plane decomposition block
+    (cauchy_plane_layout) with the exact geometric transform
+        dP = tr(F^-1 dF) P + J (M : sym dF) F^-T - P dF^T F^-T
+    applied here per-qp (P = J sigma F^-T rebuilt from the streamed
+    sigma/F^-1/J) — cuts the kernel's dominant HBM stream 2.2x for the
+    small-strain J2 family; see make_assemble_sweep for validity."""
     block_e = block_e or pick_block_e(n_el)
     d2 = dim * dim
     sym = c_storage == "sym"
+    cauchy = c_storage == "cauchy"
     tri, _ = tri_index_map(d2)
+    lay = cauchy_plane_layout(dim)
 
     def kernel(w_el_ref, dn_ref, n_ref, wq_ref, c_ref, out_ref):
         dF = _grad_interp(dim, nd, w_el_ref, dn_ref)
 
-        def C_at(a, k):
-            if sym:
-                return c_ref[tri[(min(a, k), max(a, k))], :, :]
-            return c_ref[a, k, :, :]
+        if cauchy:
+            SYM, tri6 = lay["sym"], lay["tri"]
+            n_sym = len(SYM)
 
-        dP = [[None] * dim for _ in range(dim)]
-        for c in range(dim):
-            for dd in range(dim):
-                a = c * dim + dd
-                acc = C_at(a, 0) * dF[0, 0]
-                for k in range(1, d2):
-                    acc = acc + C_at(a, k) * dF[k // dim, k % dim]
-                dP[c][dd] = fac0 * acc
-                if has_visc:
-                    dP[c][dd] = dP[c][dd] + fac1_mu_v * dF[c, dd]
+            def M_at(a, m):
+                return c_ref[tri6[(min(a, m), max(a, m))], :, :]
+
+            sig = {}
+            for k, (i, j) in enumerate(SYM):
+                s = c_ref[lay["off_sig"] + k, :, :]
+                sig[(i, j)] = sig[(j, i)] = s
+            fi = [
+                [
+                    c_ref[lay["off_fi"] + r * dim + c, :, :]
+                    for c in range(dim)
+                ]
+                for r in range(dim)
+            ]
+            Jd = c_ref[lay["off_j"], :, :]
+            # contraction coefficients against the stored D-hat (see
+            # make_assemble_sweep): dF_ii / (dF_ij + dF_ji), UNhalved
+            cm = [
+                dF[i, i] if i == j else dF[i, j] + dF[j, i]
+                for (i, j) in SYM
+            ]
+            dsig = {}
+            for a, (i, j) in enumerate(SYM):
+                acc = M_at(a, 0) * cm[0]
+                for m in range(1, n_sym):
+                    acc = acc + M_at(a, m) * cm[m]
+                dsig[(i, j)] = dsig[(j, i)] = acc
+            # P = J sigma F^-T (rebuilt, not streamed)
+            P = [
+                [
+                    Jd
+                    * sum(sig[(c, e)] * fi[dd][e] for e in range(dim))
+                    for dd in range(dim)
+                ]
+                for c in range(dim)
+            ]
+            trF = sum(
+                fi[c][e] * dF[e, c]
+                for c in range(dim)
+                for e in range(dim)
+            )
+            # A = dF^T F^-T: A[a][b] = sum_e dF[e,a] F^-1[b,e]
+            A = [
+                [
+                    sum(dF[e, a] * fi[b][e] for e in range(dim))
+                    for b in range(dim)
+                ]
+                for a in range(dim)
+            ]
+            dP = [[None] * dim for _ in range(dim)]
+            for c in range(dim):
+                for dd in range(dim):
+                    x = (
+                        trF * P[c][dd]
+                        + Jd
+                        * sum(
+                            dsig[(c, e)] * fi[dd][e]
+                            for e in range(dim)
+                        )
+                        - sum(P[c][e] * A[e][dd] for e in range(dim))
+                    )
+                    dP[c][dd] = fac0 * x
+                    if has_visc:
+                        dP[c][dd] = dP[c][dd] + fac1_mu_v * dF[c, dd]
+        else:
+
+            def C_at(a, k):
+                if sym:
+                    return c_ref[tri[(min(a, k), max(a, k))], :, :]
+                return c_ref[a, k, :, :]
+
+            dP = [[None] * dim for _ in range(dim)]
+            for c in range(dim):
+                for dd in range(dim):
+                    a = c * dim + dd
+                    acc = C_at(a, 0) * dF[0, 0]
+                    for k in range(1, d2):
+                        acc = acc + C_at(a, k) * dF[k // dim, k % dim]
+                    dP[c][dd] = fac0 * acc
+                    if has_visc:
+                        dP[c][dd] = dP[c][dd] + fac1_mu_v * dF[c, dd]
         vq = _value_interp(dim, nd, w_el_ref, n_ref)
         vec = [rho * vq[c] for c in range(dim)]
         w = wq_ref[:, :]
@@ -412,10 +581,10 @@ def make_matvec_sweep(
     wq = pl.BlockSpec(
         (n_q, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    if sym:
-        n_tri = d2 * (d2 + 1) // 2
+    if sym or cauchy:
+        n_pl = lay["n_plane"] if cauchy else d2 * (d2 + 1) // 2
         c_spec = pl.BlockSpec(
-            (n_tri, n_q, block_e),
+            (n_pl, n_q, block_e),
             lambda i: (0, 0, i),
             memory_space=pltpu.VMEM,
         )

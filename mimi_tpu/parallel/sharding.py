@@ -749,15 +749,24 @@ def make_step(
     superlinear convergence on contact-stiff tangents at the cost of
     O(restart) stored Krylov vectors.
 
-    `tangent_storage` ("auto" default, "full", "sym"; pallas engine):
-    "sym" stores the per-qp tangent as its 45 upper-triangle planes
-    (vs 81), cutting the matvec kernel's dominant HBM stream 1.8x.
-    Exact only for materials whose dP/dF has major symmetry
+    `tangent_storage` ("auto" default, "full", "sym", "cauchy"; pallas
+    engine): "sym" stores the per-qp tangent as its 45 upper-triangle
+    planes (vs 81), cutting the matvec kernel's dominant HBM stream
+    1.8x — exact only for materials whose dP/dF has major symmetry
     (`Material.tangent_major_symmetric` — the hyperelastic energy
     Hessians; measured round 4: NeoHookean/StVK symmetric to 3e-16,
     the J2 family asymmetric by 2-16% through the Cauchy->PK1
-    geometric terms, docs/ROADMAP.md).  "auto" picks "sym" exactly for
-    flagged materials on the pallas engine.
+    geometric terms, docs/ROADMAP.md).  "cauchy" (VERDICT r4 #3)
+    stores the 37-plane decomposition block instead — the Voigt
+    material tangent M = d sigma/d eps (21 tri planes) + sigma + F^-1
+    + J (ops/sweeps.py cauchy_plane_layout) — and applies the exact
+    geometric transform dP = tr(F^-1 dF) P + J (M:sym dF) F^-T
+    - P dF^T F^-T per-qp inside the matvec kernel: a 2.2x stream cut
+    that IS exact for the small-strain J2 family
+    (`Material.tangent_cauchy_decomp`), recovering the compression the
+    measured dP/dF asymmetry denied them.  "auto" picks the strongest
+    exact compression the material declares (cauchy > sym > full) on
+    the pallas engine.
 
     `residual_impl` selects the assembly engine:
       - "auto" (default): the SoA batch-last engine ("soa") when the
@@ -842,28 +851,42 @@ def make_step(
         )
     if matvec_dtype not in ("f32", "bf16"):
         raise ValueError(f"unknown matvec_dtype {matvec_dtype!r}")
-    if tangent_storage not in ("auto", "full", "sym"):
+    if tangent_storage not in ("auto", "full", "sym", "cauchy"):
         raise ValueError(f"unknown tangent_storage {tangent_storage!r}")
     mat_sym = bool(getattr(prob.material, "tangent_major_symmetric", False))
-    if tangent_storage == "sym":
-        if not use_pallas:
-            raise ValueError(
-                "tangent_storage='sym' is implemented for the pallas engine"
-            )
-        if not mat_sym:
-            raise ValueError(
-                f"{type(prob.material).__name__} does not declare a "
-                "major-symmetric dP/dF (tangent_major_symmetric); "
-                "symmetric tangent storage would silently corrupt the "
-                "Krylov operator (measured 2-16% asymmetry for the J2 "
-                "family, docs/ROADMAP.md)"
-            )
-    c_storage = (
-        "sym"
-        if tangent_storage == "sym"
-        or (tangent_storage == "auto" and use_pallas and mat_sym)
-        else "full"
+    mat_cauchy = bool(
+        getattr(prob.material, "tangent_cauchy_decomp", False)
     )
+    if tangent_storage in ("sym", "cauchy") and not use_pallas:
+        raise ValueError(
+            f"tangent_storage={tangent_storage!r} is implemented for "
+            "the pallas engine"
+        )
+    if tangent_storage == "sym" and not mat_sym:
+        raise ValueError(
+            f"{type(prob.material).__name__} does not declare a "
+            "major-symmetric dP/dF (tangent_major_symmetric); "
+            "symmetric tangent storage would silently corrupt the "
+            "Krylov operator (measured 2-16% asymmetry for the J2 "
+            "family, docs/ROADMAP.md)"
+        )
+    if tangent_storage == "cauchy" and not mat_cauchy:
+        raise ValueError(
+            f"{type(prob.material).__name__} does not declare the "
+            "Cauchy-decomposition contract (tangent_cauchy_decomp: "
+            "sigma symmetric and a function of sym(F) only) — the "
+            "37-plane storage would silently corrupt the Krylov "
+            "operator"
+        )
+    if tangent_storage == "auto" and use_pallas:
+        # prefer the strongest exact compression the material declares:
+        # cauchy (37 planes, small-strain J2 family) > sym (45 planes,
+        # hyperelastic Hessians) > full (81)
+        c_storage = (
+            "cauchy" if mat_cauchy else ("sym" if mat_sym else "full")
+        )
+    else:
+        c_storage = tangent_storage if tangent_storage != "auto" else "full"
     if matvec_dtype == "bf16" and not use_pallas:
         raise ValueError(
             "matvec_dtype='bf16' is implemented for the pallas engine"

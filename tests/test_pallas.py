@@ -105,6 +105,49 @@ def test_pallas_sweeps_smoke():
     ) + rho * jnp.einsum("qe,nqe,cqe->cne", wdet_t, N_t, wq)
     mv_scale = float(jnp.abs(y_mv_ref).max())
     assert float(jnp.abs(y_mv - y_mv_ref).max()) < 1e-3 * mv_scale
+    # Cauchy-decomposition storage (tangent_storage="cauchy", 37 planes
+    # vs 81): the matvec must reproduce the SAME jvp exactly — the
+    # geometric transform dP = tr(F^-1 dF) P + J (M:sym dF) F^-T
+    # - P dF^T F^-T is an identity for sigma(sym F), not a model
+    assert type(mat).tangent_cauchy_decomp
+    asm_c = sweeps.make_assemble_sweep(**kw, c_storage="cauchy")
+    y3, Cc = asm_c(u_el, a_el, None, state, dN_t, N_t, wdet_t)
+    assert float(jnp.abs(y3 - y_ref).max()) < 1e-4 * scale
+    from mimi_tpu.ops.sweeps import cauchy_plane_layout
+
+    assert Cc.shape[0] == cauchy_plane_layout(dim)["n_plane"]  # 37
+    mv_c = sweeps.make_matvec_sweep(
+        dim=dim, nd=nd, n_q=n_q, n_el=n_el, rho=rho, fac0=1.0,
+        fac1_mu_v=0.0, has_visc=False, block_e=8, interpret=True,
+        c_storage="cauchy",
+    )
+    y_mv_c = mv_c(w_el, dN_t, N_t, wdet_t, Cc)
+    assert float(jnp.abs(y_mv_c - y_mv_ref).max()) < 1e-3 * mv_scale
+
+    # pin the major symmetry of the Voigt matrix D-hat = d sigma/d eps
+    # the 21-plane tri storage relies on (consistent radial-return
+    # tangent of associated J2: built from I, I(x)I, N(x)N — symmetric;
+    # note the 1/w_m minor-symmetry weights, sweeps.py assemble kernel)
+    sig0, jvp_s = jax.linearize(
+        lambda Ft: mat.cauchy_soa(Ft, state, 0.05), F
+    )
+    SYM = sweeps.sym_basis(dim)
+    n_sym = len(SYM)
+    cols = []
+    for m, (i, j) in enumerate(SYM):
+        seed = jnp.zeros_like(F).at[i, j].set(1.0)
+        if i != j:
+            seed = seed.at[j, i].set(1.0)
+        cols.append(jvp_s(seed) * (1.0 if i == j else 0.5))
+    M = np.stack(
+        [
+            np.stack([np.asarray(cols[m][i, j]) for m in range(n_sym)])
+            for (i, j) in SYM
+        ]
+    )  # D-hat (a, m, q, e)
+    m_asym = np.abs(M - M.transpose(1, 0, 2, 3)).max()
+    assert m_asym < 1e-4 * max(np.abs(M).max(), 1e-30), m_asym
+
     # the run exercised the plastic branch, not just elasticity: at an
     # elastic-only yield the stress would differ
     mat_el = mimi.J2Linear()

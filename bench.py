@@ -602,9 +602,6 @@ def main():
                   f"spans={spans}", file=sys.stderr)
     on_tpu = jax.default_backend() == "tpu"
     impl = "pallas" if on_tpu else "soa"
-    _phase(f"host problem build (spans={spans})")
-    prob = _build(subdiv, spans if spans > 0 else None)
-    qp_total = prob.n_el * prob.n_q
 
     # inexact-Newton forcing: linear solves to rel 1e-3 — measured at
     # the 48^3 config to leave the trajectory identical to the 3e-6
@@ -614,11 +611,26 @@ def main():
         dt=0.05, newton_iters=NEWTON_ITERS, solver="cg",
         cg_iters=40, precond="fdm", lin_rel_tol=1e-3,
     )
-    _phase("make_step (trace prep)")
-    step = sh.make_step(prob, residual_impl=impl, **step_kwargs)
-    _phase("warm step (trace + compile) ...")
-    wall = _time_steps(prob, step, n_steps)
-    _phase("primary measured")
+
+    # each bench section runs inside a function so its device arrays
+    # (several GB of quadrature tables + J2 state at 48^3) die with the
+    # frame: holding the primary section's buffers alive OOMed the
+    # contact section's compile on a 16 GB chip (observed live, r5)
+    def _bench_primary():
+        _phase(f"host problem build (spans={spans})")
+        prob = _build(subdiv, spans if spans > 0 else None)
+        _phase("make_step (trace prep)")
+        step = sh.make_step(prob, residual_impl=impl, **step_kwargs)
+        _phase("warm step (trace + compile) ...")
+        wall = _time_steps(prob, step, n_steps)
+        _phase("primary measured")
+        return prob.n_el, prob.n_q, wall
+
+    import gc
+
+    p_n_el, p_n_q, wall = _bench_primary()
+    gc.collect()
+    qp_total = p_n_el * p_n_q
     per_step = wall / n_steps
     evals_per_sec = qp_total * RES_EVALS_PER_STEP / per_step
 
@@ -640,8 +652,8 @@ def main():
         "metric": "qp_residual_evals_per_sec",
         "value": evals_per_sec,
         "unit": (
-            f"quad-point residual evals/s (3D J2, {prob.n_el} elems"
-            f" x {prob.n_q} qp, {NEWTON_ITERS}-iter Newton+CG step, f32)"
+            f"quad-point residual evals/s (3D J2, {p_n_el} elems"
+            f" x {p_n_q} qp, {NEWTON_ITERS}-iter Newton+CG step, f32)"
         ),
         "vs_baseline": vs_baseline,
         "extra": extra,
@@ -681,6 +693,7 @@ def main():
             except Exception as e:
                 print(f"# contact bench failed: {e}", file=sys.stderr)
                 extra["contact_error"] = str(e)[:200]
+            gc.collect()  # free the contact problem's device arrays
         else:
             extra["contact_skipped"] = "wall budget"
 
@@ -697,6 +710,7 @@ def main():
             except Exception as e:
                 print(f"# pallas parity check failed: {e}", file=sys.stderr)
                 extra["pallas_parity_ok"] = False
+            gc.collect()
         else:
             extra["pallas_parity_skipped"] = "wall budget"
 

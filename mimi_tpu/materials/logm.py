@@ -74,15 +74,24 @@ from ..fem import soa  # noqa: E402  (cycle-free: fem.soa imports jnp only)
 def _sqrt_db_soa(A, iters=7):
     """Denman-Beavers square root of SPD A (batch-last planes).
     Quadratically convergent for any SPD input; 7 iterations reach
-    f64 roundoff for eigenvalues within [0.05, 20]."""
-    d = A.shape[0]
-    Y = A
-    Z = soa.add_diag(A * 0.0, 1.0)
-    for _ in range(iters):
+    f64 roundoff for eigenvalues within [0.05, 20]; 14 cover ~1e4.
+
+    lax.fori_loop (fixed trip count — legal in Mosaic kernels and
+    traced ONCE) instead of a Python unroll: with the r5 range
+    escalation each J2Log call site carries both a fast and a deep
+    series, and unrolled bodies made the step graph explode (observed:
+    a 64-element J2Log step compile exceeding 20 min)."""
+    import jax.lax as lax
+
+    def body(_, yz):
+        Y, Z = yz
         Y_inv = soa.inv(Y)
         Z_inv = soa.inv(Z)
-        Y = 0.5 * (Y + Z_inv)
-        Z = 0.5 * (Z + Y_inv)
+        return 0.5 * (Y + Z_inv), 0.5 * (Z + Y_inv)
+
+    Y, _ = lax.fori_loop(
+        0, iters, body, (A, soa.add_diag(A * 0.0, 1.0))
+    )
     return Y
 
 
@@ -128,11 +137,13 @@ def _logm_core(C, sqrt_levels, gregory_terms, db_iters):
         soa.add_diag(A, -1.0), soa.inv(soa.add_diag(A, 1.0))
     )
     X2 = soa.matmul(X, X)
-    term = X
-    acc = X
-    for k in range(1, gregory_terms):
+
+    def body(k, ta):
+        term, acc = ta
         term = soa.matmul(term, X2)
-        acc = acc + term / (2 * k + 1)
+        return term, acc + term / (2.0 * k + 1.0)
+
+    _, acc = jax.lax.fori_loop(1, gregory_terms, body, (X, X))
     logA = (2.0 ** (sqrt_levels + 1)) * acc
     return soa.add_diag(logA, jnp.log(s)), soa.fro_norm(X)
 
@@ -184,14 +195,17 @@ def expm_sym_soa(A, squarings=3, taylor_terms=8, escalate=True):
 
     def _core(sq, terms):
         B = A / (2.0 ** sq)
-        acc = soa.add_diag(B * 0.0, 1.0)
-        term = acc
-        for k in range(1, terms + 1):
+
+        def t_body(k, ta):
+            term, acc = ta
             term = soa.matmul(term, B) / k
-            acc = acc + term
-        for _ in range(sq):
-            acc = soa.matmul(acc, acc)
-        return acc
+            return term, acc + term
+
+        eye = soa.add_diag(B * 0.0, 1.0)
+        _, acc = jax.lax.fori_loop(1, terms + 1, t_body, (eye, eye))
+        return jax.lax.fori_loop(
+            0, sq, lambda _, a: soa.matmul(a, a), acc
+        )
 
     nrm = soa.fro_norm(A)
     out = _core(squarings, taylor_terms)

@@ -104,6 +104,13 @@ class _SplineBase:
     def multi_index(self):
         return _MultiIndex(self._n_ctrl)
 
+    @property
+    def extract(self):
+        """splinepy-style extraction namespace: `.boundaries(ids)` and
+        `.spline(axis, interval)` (the surface the reference's
+        examples/toy_problem.py:117-130 drives)."""
+        return _Extractor(self)
+
     def parametric_bounds(self):
         lo = [kv[p] for kv, p in zip(self.knot_vectors, self.degrees)]
         hi = [kv[-p - 1] for kv, p in zip(self.knot_vectors, self.degrees)]
@@ -239,6 +246,85 @@ class _SplineBase:
             None if other.weights is None else other.weights.copy(),
         )
         return obj
+
+
+class _Extractor:
+    """Extraction helpers matching the splinepy surface the reference
+    examples use (splinepy boundary numbering: id = 2*axis + end, end 0
+    = parametric min, end 1 = max)."""
+
+    def __init__(self, spline):
+        self._s = spline
+
+    def boundaries(self, ids=None):
+        """Boundary splines of a 2D tensor-product spline as 1D splines
+        (control-point slices of the lexicographic grid; exact — the
+        boundary of a B-spline patch is the B-spline of the boundary
+        control polygon).  `ids` selects which (default: all 2*para_dim
+        in splinepy order)."""
+        s = self._s
+        if s.para_dim != 2:
+            raise NotImplementedError("boundaries(): para_dim == 2 only")
+        n0, n1 = s._n_ctrl
+        grid = np.arange(n0 * n1).reshape(n1, n0)  # [i1, i0]
+        out = []
+        for b in range(4) if ids is None else ids:
+            axis, end = divmod(int(b), 2)
+            if axis == 0:  # fix i0: curve along axis 1
+                flat = grid[:, 0 if end == 0 else n0 - 1]
+                deg, kv = s.degrees[1], s.knot_vectors[1]
+            else:  # fix i1: curve along axis 0
+                flat = grid[0 if end == 0 else n1 - 1, :]
+                deg, kv = s.degrees[0], s.knot_vectors[0]
+            cps = s.cps[flat].copy()
+            if s.weights is None:
+                out.append(BSpline([deg], cps, [kv.copy()]))
+            else:
+                out.append(
+                    NURBS([deg], cps, [kv.copy()], s.weights[flat].copy())
+                )
+        return out
+
+    def spline(self, axis, interval):
+        """Parametric restriction of the spline to `interval` along
+        `axis`.  Returned as a sampling view over the ORIGINAL
+        evaluator (identical sampled points to splinepy's knot-insertion
+        extraction, which the reference uses only to `.sample(...)` the
+        tool path, examples/toy_problem.py:130)."""
+        s = self._s
+        lo, hi = s.parametric_bounds()
+        lo = np.array(lo, dtype=float)
+        hi = np.array(hi, dtype=float)
+        lo[axis], hi[axis] = float(interval[0]), float(interval[1])
+        return _RestrictedView(s, lo, hi)
+
+
+class _RestrictedView:
+    """Sampling view of a spline on a restricted parametric box."""
+
+    def __init__(self, spline, lo, hi):
+        self._s = spline
+        self._lo = lo
+        self._hi = hi
+        self.para_dim = spline.para_dim
+        self.dim = spline.dim
+
+    def sample(self, resolutions):
+        if np.isscalar(resolutions):
+            resolutions = [resolutions] * self.para_dim
+        axes = [
+            np.linspace(self._lo[d], self._hi[d], resolutions[d])
+            for d in range(self.para_dim)
+        ]
+        grid = np.meshgrid(*axes, indexing="ij")
+        params = np.stack(
+            [g.reshape(-1, order="F") for g in grid], axis=-1
+        )
+        ev = self._s.make_eval()
+        pts = jax.vmap(lambda u: ev(u, self._s.eval_cps()))(
+            jnp.asarray(params)
+        )
+        return np.asarray(pts)
 
 
 class _MultiIndex:

@@ -66,6 +66,31 @@ def test_multi_index():
     assert idx[0] == nc[0] - 1
 
 
+def test_spline_extract():
+    """splinepy-surface extraction (the toy_problem geometry path,
+    reference examples/toy_problem.py:117-133): boundary curves are the
+    control-polygon slices; a parametric restriction samples the
+    original spline; a degree-1 axis restriction is the exact linear
+    blend of the two boundary curves."""
+    from mimi_tpu.splines import BSpline
+
+    kv_u = [0.0, 0.0, 0.0, 1.0, 2.0, 3.0, 3.0, 3.0]
+    kv_v = [0.0, 0.0, 1.0, 1.0]
+    rng = np.random.default_rng(3)
+    cps = rng.normal(size=(10, 2))
+    s = BSpline([2, 1], cps, [kv_u, kv_v])
+    lo, hi = s.extract.boundaries([2, 3])
+    assert np.allclose(lo.cps, cps[:5]) and np.allclose(hi.cps, cps[5:])
+    west, east = s.extract.boundaries([0, 1])
+    assert np.allclose(west.cps, cps[[0, 5]])
+    assert np.allclose(east.cps, cps[[4, 9]])
+    path = s.extract.spline(1, [0.25, 0.75]).sample([9, 2])
+    a = lo.sample(9)
+    b = hi.sample(9)
+    assert np.allclose(path[:9], 0.75 * a + 0.25 * b, atol=1e-12)
+    assert np.allclose(path[9:], 0.25 * a + 0.75 * b, atol=1e-12)
+
+
 def test_traction_rhs():
     """Total assembled traction force equals traction * edge length."""
     nl = _basic("balken.mesh", elevate=1, subdivide=1)

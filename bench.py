@@ -432,12 +432,14 @@ def _bench_contact(spans, n_steps, impl):
     # touching, fresh plasticization) need ~8-12 Newton its at rel
     # 1e-3; post-engagement steps converge in ~5 and exit the
     # while_loop early, so the budget only costs time where needed
-    # MIMI_BENCH_CONTACT_PRECOND: "schur" (default) adds the exact
-    # face-restricted mortar double-average block to the FDM inverse
-    # (solvers/fdm.py build_contact_face_schur) — the round-4 lever for
-    # the measured ~30-its/solve separable-preconditioner plateau;
-    # "fdm" reproduces the round-3 configuration.
-    precond = os.environ.get("MIMI_BENCH_CONTACT_PRECOND", "schur")
+    # MIMI_BENCH_CONTACT_PRECOND: "fdm" (default) or "schur" (adds the
+    # exact face-restricted mortar double-average block,
+    # solvers/fdm.py build_contact_face_schur).  Same-day 48^3
+    # measurement round 5 (BENCH_LOCAL_r05*.json): fdm 2.187 s/step at
+    # 82 GMRES its vs schur 2.260 at 89 — the round-4 "schur halves
+    # GMRES" gap closed once the Cauchy-decomposition tangent storage
+    # landed, so the simpler apply wins.
+    precond = os.environ.get("MIMI_BENCH_CONTACT_PRECOND", "fdm")
     step = sh.make_step(
         prob, dt=0.01, newton_iters=12, solver="cg", cg_iters=80,
         residual_impl=impl, precond=precond, lin_rel_tol=1e-2,

@@ -446,6 +446,102 @@ def make_assemble_sweep(
     return assemble_full
 
 
+def _tangent_apply(
+    c_ref, dF, dim, fac0, fac1_mu_v, has_visc, c_storage, lay, tri
+):
+    """dP[c][d](q, be) = fac0 * (dP/dF : dF) (+ fac1 mu_v dF) from the
+    streamed tangent block c_ref, for every storage layout ("full",
+    "sym", "cauchy" — see make_assemble_sweep).  Shared by the dense-dN
+    and sum-factorized matvec kernels."""
+    d2 = dim * dim
+    sym = c_storage == "sym"
+    cauchy = c_storage == "cauchy"
+    if cauchy:
+        SYM, tri6 = lay["sym"], lay["tri"]
+        n_sym = len(SYM)
+
+        def M_at(a, m):
+            return c_ref[tri6[(min(a, m), max(a, m))], :, :]
+
+        sig = {}
+        for k, (i, j) in enumerate(SYM):
+            s = c_ref[lay["off_sig"] + k, :, :]
+            sig[(i, j)] = sig[(j, i)] = s
+        fi = [
+            [
+                c_ref[lay["off_fi"] + r * dim + c, :, :]
+                for c in range(dim)
+            ]
+            for r in range(dim)
+        ]
+        Jd = c_ref[lay["off_j"], :, :]
+        # contraction coefficients against the stored D-hat (see
+        # make_assemble_sweep): dF_ii / (dF_ij + dF_ji), UNhalved
+        cm = [
+            dF[i, i] if i == j else dF[i, j] + dF[j, i]
+            for (i, j) in SYM
+        ]
+        dsig = {}
+        for a, (i, j) in enumerate(SYM):
+            acc = M_at(a, 0) * cm[0]
+            for m in range(1, n_sym):
+                acc = acc + M_at(a, m) * cm[m]
+            dsig[(i, j)] = dsig[(j, i)] = acc
+        # P = J sigma F^-T (rebuilt, not streamed)
+        P = [
+            [
+                Jd * sum(sig[(c, e)] * fi[dd][e] for e in range(dim))
+                for dd in range(dim)
+            ]
+            for c in range(dim)
+        ]
+        trF = sum(
+            fi[c][e] * dF[e, c]
+            for c in range(dim)
+            for e in range(dim)
+        )
+        # A = dF^T F^-T: A[a][b] = sum_e dF[e,a] F^-1[b,e]
+        A = [
+            [
+                sum(dF[e, a] * fi[b][e] for e in range(dim))
+                for b in range(dim)
+            ]
+            for a in range(dim)
+        ]
+        dP = [[None] * dim for _ in range(dim)]
+        for c in range(dim):
+            for dd in range(dim):
+                x = (
+                    trF * P[c][dd]
+                    + Jd
+                    * sum(
+                        dsig[(c, e)] * fi[dd][e] for e in range(dim)
+                    )
+                    - sum(P[c][e] * A[e][dd] for e in range(dim))
+                )
+                dP[c][dd] = fac0 * x
+                if has_visc:
+                    dP[c][dd] = dP[c][dd] + fac1_mu_v * dF[c, dd]
+        return dP
+
+    def C_at(a, k):
+        if sym:
+            return c_ref[tri[(min(a, k), max(a, k))], :, :]
+        return c_ref[a, k, :, :]
+
+    dP = [[None] * dim for _ in range(dim)]
+    for c in range(dim):
+        for dd in range(dim):
+            a = c * dim + dd
+            acc = C_at(a, 0) * dF[0, 0]
+            for k in range(1, d2):
+                acc = acc + C_at(a, k) * dF[k // dim, k % dim]
+            dP[c][dd] = fac0 * acc
+            if has_visc:
+                dP[c][dd] = dP[c][dd] + fac1_mu_v * dF[c, dd]
+    return dP
+
+
 def make_matvec_sweep(
     dim, nd, n_q, n_el, rho, fac0, fac1_mu_v, has_visc,
     block_e=None, interpret=False, c_storage="full",
@@ -470,92 +566,10 @@ def make_matvec_sweep(
 
     def kernel(w_el_ref, dn_ref, n_ref, wq_ref, c_ref, out_ref):
         dF = _grad_interp(dim, nd, w_el_ref, dn_ref)
-
-        if cauchy:
-            SYM, tri6 = lay["sym"], lay["tri"]
-            n_sym = len(SYM)
-
-            def M_at(a, m):
-                return c_ref[tri6[(min(a, m), max(a, m))], :, :]
-
-            sig = {}
-            for k, (i, j) in enumerate(SYM):
-                s = c_ref[lay["off_sig"] + k, :, :]
-                sig[(i, j)] = sig[(j, i)] = s
-            fi = [
-                [
-                    c_ref[lay["off_fi"] + r * dim + c, :, :]
-                    for c in range(dim)
-                ]
-                for r in range(dim)
-            ]
-            Jd = c_ref[lay["off_j"], :, :]
-            # contraction coefficients against the stored D-hat (see
-            # make_assemble_sweep): dF_ii / (dF_ij + dF_ji), UNhalved
-            cm = [
-                dF[i, i] if i == j else dF[i, j] + dF[j, i]
-                for (i, j) in SYM
-            ]
-            dsig = {}
-            for a, (i, j) in enumerate(SYM):
-                acc = M_at(a, 0) * cm[0]
-                for m in range(1, n_sym):
-                    acc = acc + M_at(a, m) * cm[m]
-                dsig[(i, j)] = dsig[(j, i)] = acc
-            # P = J sigma F^-T (rebuilt, not streamed)
-            P = [
-                [
-                    Jd
-                    * sum(sig[(c, e)] * fi[dd][e] for e in range(dim))
-                    for dd in range(dim)
-                ]
-                for c in range(dim)
-            ]
-            trF = sum(
-                fi[c][e] * dF[e, c]
-                for c in range(dim)
-                for e in range(dim)
-            )
-            # A = dF^T F^-T: A[a][b] = sum_e dF[e,a] F^-1[b,e]
-            A = [
-                [
-                    sum(dF[e, a] * fi[b][e] for e in range(dim))
-                    for b in range(dim)
-                ]
-                for a in range(dim)
-            ]
-            dP = [[None] * dim for _ in range(dim)]
-            for c in range(dim):
-                for dd in range(dim):
-                    x = (
-                        trF * P[c][dd]
-                        + Jd
-                        * sum(
-                            dsig[(c, e)] * fi[dd][e]
-                            for e in range(dim)
-                        )
-                        - sum(P[c][e] * A[e][dd] for e in range(dim))
-                    )
-                    dP[c][dd] = fac0 * x
-                    if has_visc:
-                        dP[c][dd] = dP[c][dd] + fac1_mu_v * dF[c, dd]
-        else:
-
-            def C_at(a, k):
-                if sym:
-                    return c_ref[tri[(min(a, k), max(a, k))], :, :]
-                return c_ref[a, k, :, :]
-
-            dP = [[None] * dim for _ in range(dim)]
-            for c in range(dim):
-                for dd in range(dim):
-                    a = c * dim + dd
-                    acc = C_at(a, 0) * dF[0, 0]
-                    for k in range(1, d2):
-                        acc = acc + C_at(a, k) * dF[k // dim, k % dim]
-                    dP[c][dd] = fac0 * acc
-                    if has_visc:
-                        dP[c][dd] = dP[c][dd] + fac1_mu_v * dF[c, dd]
+        dP = _tangent_apply(
+            c_ref, dF, dim, fac0, fac1_mu_v, has_visc, c_storage,
+            lay, tri,
+        )
         vq = _value_interp(dim, nd, w_el_ref, n_ref)
         vec = [rho * vq[c] for c in range(dim)]
         w = wq_ref[:, :]
@@ -610,3 +624,286 @@ def make_matvec_sweep(
         return call(w_el, dn, nn_, wq_, C)
 
     return matvec
+
+
+def make_matvec_sweep_sf(
+    dim, nd, n_q, n_el, rho, fac0, fac1_mu_v, has_visc,
+    block_e=None, interpret=False, c_storage="full", n_g=None, pp1=None,
+):
+    """Sum-factorized J w sweep (VERDICT r4 next #4 — measured spike).
+
+    Replaces the dense dN/dX (nd*dim*n_q planes/element) and N
+    (nd*n_q planes) streams of make_matvec_sweep with the tensor-product
+    FACTORS they are built from: per-element 1D basis tables B/D
+    (3 axes x n_g x (p+1) rows — ~2% of dN) plus the per-qp geometric
+    Jacobian inverse dxi/dX (dim*dim*n_q planes — the non-separable
+    part).  The reference exploits the same tensor-product structure
+    through MFEM's NURBSext tables
+    (/root/reference/src/mimi/utils/precomputed.cpp:264-330).
+
+    Valid for POLYNOMIAL (unit-weight) single-patch bases in 3D: the
+    rational quotient breaks separability of dN itself (the builder in
+    parallel/sharding.py gates on patch.weights == 1).
+
+    Contractions run as staged partial sums at full (n_q, be) plane
+    width (axis-2 first, matching the q = q0 + G0 q1 + G0 G1 q2,
+    n = a0 + P0 a1 + P0 P1 a2 fast-axis-first layouts of
+    fem/space.py:_tensor_basis_numpy), so the op count stays in the
+    same class as the dense kernel while the streams shrink ~3x:
+
+      dF_param[g,a](q) = sum_i T0[a==0? D:B][i] (sum_j T1[...][j]
+                          (sum_k T2[...][k] w[g, i+3j+9k]))
+      dF = dF_param . Jinv;  dP = fac0 (C : dF) (+ visc)
+      out[c, n] = sum_q [sum_a dN_xi[n,a] (Jinv[a,:] . (wq dP[c,:]))]
+                  + N_xi[n] (wq rho vq[c])
+
+    Inputs: w_el (dim, nd, n_el); b0,d0,b1,d1,b2,d2 (n_g, p+1, n_el)
+    per-axis 1D value/derivative tables; jinv (dim, dim, n_q, n_el);
+    wq (n_q, n_el); C (planes, [d2,] n_q, n_el) as in make_matvec_sweep.
+    """
+    assert dim == 3, "sum-factorized sweep is 3D-only"
+    block_e = block_e or pick_block_e(n_el)
+    lay = cauchy_plane_layout(dim)
+    tri, _ = tri_index_map(dim * dim)
+    if n_g is None or pp1 is None:
+        raise ValueError("make_matvec_sweep_sf needs n_g and pp1")
+    g0 = g1 = g2 = int(n_g)
+    p1 = int(pp1)
+    assert g0 * g1 * g2 == n_q and p1**3 == nd
+
+    def kernel(w_ref, b0r, d0r, b1r, d1r, b2r, d2r, ji_ref, wq_ref,
+               c_ref, out_ref):
+        f32 = jnp.float32
+
+        # ---- tile the 1D tables to full (n_q, be) planes ----
+        # q = q0 + g0 q1 + g0 g1 q2 (axis-0 gauss fastest)
+        def tile0(tab, i):  # pattern repeats every g0 rows
+            sl = tab[:, i, :].astype(f32)  # (g0, be)
+            return jnp.concatenate([sl] * (g1 * g2), axis=0)
+
+        def tile1(tab, j):  # constant over g0, cycles with period g0*g1
+            sl = tab[:, j, :].astype(f32)
+            rep = jnp.repeat(sl, g0, axis=0)  # (g0*g1, be)
+            return jnp.concatenate([rep] * g2, axis=0)
+
+        def tile2(tab, k):  # constant over g0*g1
+            sl = tab[:, k, :].astype(f32)
+            return jnp.repeat(sl, g0 * g1, axis=0)
+
+        T0B = [tile0(b0r, i) for i in range(p1)]
+        T0D = [tile0(d0r, i) for i in range(p1)]
+        T1B = [tile1(b1r, j) for j in range(p1)]
+        T1D = [tile1(d1r, j) for j in range(p1)]
+        T2B = [tile2(b2r, k) for k in range(p1)]
+        T2D = [tile2(d2r, k) for k in range(p1)]
+
+        ji = [
+            [ji_ref[a, f, :, :] for f in range(dim)] for a in range(dim)
+        ]
+
+        # ---- forward: dF_param, vq via staged partial sums ----
+        dFp = [[None] * dim for _ in range(dim)]
+        vq = [None] * dim
+        for g in range(dim):
+            w_g = [w_ref[g, n, :] for n in range(nd)]
+            s1B = {}
+            s1D = {}
+            for i in range(p1):
+                for j in range(p1):
+                    accB = T2B[0] * w_g[i + p1 * j]
+                    accD = T2D[0] * w_g[i + p1 * j]
+                    for k in range(1, p1):
+                        wn = w_g[i + p1 * j + p1 * p1 * k]
+                        accB = accB + T2B[k] * wn
+                        accD = accD + T2D[k] * wn
+                    s1B[(i, j)] = accB
+                    s1D[(i, j)] = accD
+            s2BB = {}
+            s2DB = {}
+            s2BD = {}
+            for i in range(p1):
+                aBB = T1B[0] * s1B[(i, 0)]
+                aDB = T1D[0] * s1B[(i, 0)]
+                aBD = T1B[0] * s1D[(i, 0)]
+                for j in range(1, p1):
+                    aBB = aBB + T1B[j] * s1B[(i, j)]
+                    aDB = aDB + T1D[j] * s1B[(i, j)]
+                    aBD = aBD + T1B[j] * s1D[(i, j)]
+                s2BB[i] = aBB
+                s2DB[i] = aDB
+                s2BD[i] = aBD
+            d0 = T0D[0] * s2BB[0]
+            d1 = T0B[0] * s2DB[0]
+            d2_ = T0B[0] * s2BD[0]
+            vv = T0B[0] * s2BB[0]
+            for i in range(1, p1):
+                d0 = d0 + T0D[i] * s2BB[i]
+                d1 = d1 + T0B[i] * s2DB[i]
+                d2_ = d2_ + T0B[i] * s2BD[i]
+                vv = vv + T0B[i] * s2BB[i]
+            dFp[g][0], dFp[g][1], dFp[g][2] = d0, d1, d2_
+            vq[g] = vv
+
+        # dF = dF_param . Jinv  (dN/dX = dN/dxi . dxi/dX)
+        dF = _stack2(
+            [
+                [
+                    sum(dFp[g][a] * ji[a][f] for a in range(dim))
+                    for f in range(dim)
+                ]
+                for g in range(dim)
+            ]
+        )
+
+        dP = _tangent_apply(
+            c_ref, dF, dim, fac0, fac1_mu_v, has_visc, c_storage,
+            lay, tri,
+        )
+
+        # ---- transpose: out[c,n] = sum_q dN_xi[n,a] Z[c,a] + N m[c] ----
+        w = wq_ref[:, :]
+        for c in range(dim):
+            Z = [
+                sum(ji[a][f] * (w * dP[c][f]) for f in range(dim))
+                for a in range(dim)
+            ]
+            m = w * (rho * vq[c])
+            # channels: (D,B,B)->Z0, (B,D,B)->Z1, (B,B,D)->Z2, (B,B,B)->m
+            y0 = [[None] * p1 for _ in range(4)]  # per channel, per i
+            for ch, (Ti, src) in enumerate(
+                ((T0D, Z[0]), (T0B, Z[1]), (T0B, Z[2]), (T0B, m))
+            ):
+                for i in range(p1):
+                    y0[ch][i] = Ti[i] * src
+            for j in range(p1):
+                y1 = [[None] * p1 for _ in range(4)]
+                for ch, Tj in enumerate((T1B, T1D, T1B, T1B)):
+                    for i in range(p1):
+                        y1[ch][i] = Tj[j] * y0[ch][i]
+                for k in range(p1):
+                    for i in range(p1):
+                        n = i + p1 * j + p1 * p1 * k
+                        tot = (
+                            T2B[k] * (y1[0][i] + y1[1][i] + y1[3][i])
+                            + T2D[k] * y1[2][i]
+                        )
+                        out_ref[c, n, :] = jnp.sum(tot, axis=0)
+
+    el3 = pl.BlockSpec(
+        (dim, nd, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    t1d = pl.BlockSpec(
+        (g0, p1, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    jis = pl.BlockSpec(
+        (dim, dim, n_q, block_e),
+        lambda i: (0, 0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    wqs = pl.BlockSpec(
+        (n_q, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    if c_storage in ("sym", "cauchy"):
+        n_pl = (
+            lay["n_plane"]
+            if c_storage == "cauchy"
+            else (dim * dim) * (dim * dim + 1) // 2
+        )
+        c_spec = pl.BlockSpec(
+            (n_pl, n_q, block_e),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        c_spec = pl.BlockSpec(
+            (dim * dim, dim * dim, n_q, block_e),
+            lambda i: (0, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_el // block_e,),
+        in_specs=[el3] + [t1d] * 6 + [jis, wqs, c_spec],
+        out_specs=el3,
+        out_shape=jax.ShapeDtypeStruct((dim, nd, n_el), jnp.float32),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def matvec(w_el, b0, d0_, b1, d1_, b2, d2__, jinv, wq_, C):
+        return call(w_el, b0, d0_, b1, d1_, b2, d2__, jinv, wq_, C)
+
+    return matvec
+
+
+def build_sf_tables(patch, x_ref, conn, n_q_axis, dtype=jnp.float32):
+    """Host-side factors for make_matvec_sweep_sf on a single
+    polynomial patch: per-axis per-element 1D basis tables and the
+    per-qp inverse geometric Jacobian.
+
+    Returns (tables, jinv): tables = [B0, D0, B1, D1, B2, D2] each
+    (n_g, p+1, n_el) numpy; jinv (dim, dim, n_q, n_el).  Raises
+    ValueError for rational patches (the quotient is not separable).
+    """
+    import numpy as np
+
+    w = np.asarray(patch.weights).ravel()
+    if not np.allclose(w, 1.0):
+        raise ValueError("sum factorization needs unit weights")
+    from ..fem.space import _dim_tables
+
+    d = len(patch.degrees)
+    assert d == 3
+    tabs = [
+        _dim_tables(patch.knot_vectors[ax], patch.degrees[ax], n_q_axis)
+        for ax in range(d)
+    ]
+    spans = [t[0].shape[0] for t in tabs]
+    n_el = int(np.prod(spans))
+    assert n_el == conn.shape[0]
+    pp1 = patch.degrees[0] + 1
+    # element e = e0 + S0 e1 + S0 S1 e2 (axis 0 fastest)
+    e0 = np.arange(n_el) % spans[0]
+    e1 = (np.arange(n_el) // spans[0]) % spans[1]
+    e2 = np.arange(n_el) // (spans[0] * spans[1])
+    eids = (e0, e1, e2)
+    tables = []
+    for ax in range(3):
+        B = tabs[ax][3][eids[ax]]  # (n_el, n_g, p+1)
+        D = tabs[ax][4][eids[ax]]
+        tables.append(np.ascontiguousarray(B.transpose(1, 2, 0)))
+        tables.append(np.ascontiguousarray(D.transpose(1, 2, 0)))
+    # geometric jacobian dX/dxi per qp from the parametric derivative
+    # tensor basis and the control points (then per-qp 3x3 inverse).
+    # Accumulated per (q, n) so the full (n_el, n_q, nd, 3) parametric
+    # derivative table (4.6 GB at 48^3) is never materialized.
+    n_g = n_q_axis
+    n_q = n_g**3
+    B0, D0, B1, D1, B2, D2 = [t.transpose(2, 0, 1) for t in tables]
+    xs = np.asarray(x_ref)[np.asarray(conn)]  # (n_el, nd, dim)
+    dXdxi = np.zeros((n_el, n_q, 3, 3), np.float64)
+    # q = q0 + g q1 + g^2 q2; n = a0 + p a1 + p^2 a2 (axis 0 fastest)
+    for q2 in range(n_g):
+        for q1 in range(n_g):
+            for q0 in range(n_g):
+                q = q0 + n_g * q1 + n_g * n_g * q2
+                for a2 in range(pp1):
+                    for a1 in range(pp1):
+                        for a0 in range(pp1):
+                            n = a0 + pp1 * a1 + pp1 * pp1 * a2
+                            b0 = B0[:, q0, a0]
+                            b1 = B1[:, q1, a1]
+                            b2 = B2[:, q2, a2]
+                            g0v = D0[:, q0, a0] * b1 * b2
+                            g1v = b0 * D1[:, q1, a1] * b2
+                            g2v = b0 * b1 * D2[:, q2, a2]
+                            x_n = xs[:, n, :]  # (n_el, 3)
+                            dXdxi[:, q, 0, :] += g0v[:, None] * x_n
+                            dXdxi[:, q, 1, :] += g1v[:, None] * x_n
+                            dXdxi[:, q, 2, :] += g2v[:, None] * x_n
+    inv = np.linalg.inv(dXdxi)  # inv[e,q,d,a]: sum_d M[a,d] inv[d,b]=I
+    # wanted: jinv[a, f, q, e] = d xi_a / d X_f = inv[e, q, f, a]
+    jinv = np.ascontiguousarray(inv.transpose(3, 2, 1, 0))
+    return [np.asarray(t, dtype) for t in tables], np.asarray(jinv, dtype)

@@ -67,33 +67,12 @@ def main():
     h.reference_temperature = 20.0
     mat.hardening = h
 
-    tool = Bezier(
-        [1, 1],
-        [
-            [-0.5, -0.5, 1.02],
-            [-0.5, 1.5, 1.02],
-            [1.5, -0.5, 1.02],
-            [1.5, 1.5, 1.02],
-        ],
-    )
-    scene = mimi.NearestDistanceToSplines()
-    scene.add_spline(tool)
-    scene.plant_kd_tree(spans, 1)
-    scene.coefficient = 5e7
-
+    # reuse the bench's (cached) host problem build — same config
     t0 = time.perf_counter()
-    prob = sh.build_problem(
-        os.path.join(HERE, "tests", "data", "cube-nurbs.mesh"),
-        elevate=1,
-        subdivide=0,
-        refine_spans=spans,
-        material=mat,
-        dirichlet=[(0, 0), (0, 1), (0, 2)],
-        body_force={},
-        rho_inf=0.5,
-        dtype=jnp.float32,
-        contact=[(1, scene)],
-    )
+    import bench as _bench
+
+    prob, scene, tool = _bench._build_contact(spans)
+    mat = prob.material  # already set up for prob.dim
     print(f"build {time.perf_counter() - t0:.0f}s n_el={prob.n_el}")
     dim, nd, n_q, n_el = prob.dim, prob.conn.shape[1], prob.n_q, prob.n_el
     n_dof = prob.n_dof
@@ -116,14 +95,39 @@ def main():
     w_el = jnp.asarray(
         rng.standard_normal((dim, nd, n_el)), jnp.float32
     )
+    import gc
+
     jmv = jax.jit(mv)
+    dN_b = dN_t.astype(jnp.bfloat16)
+    N_b = N_t.astype(jnp.bfloat16)
     t_f32 = timeit(jmv, w_el, dN_t, N_t, wdet_t, C)
-    t_bf16 = timeit(
-        jmv, w_el, dN_t.astype(jnp.bfloat16), N_t.astype(jnp.bfloat16),
-        wdet_t, C.astype(jnp.bfloat16),
-    )
+    Cb = C.astype(jnp.bfloat16)
+    del C
+    gc.collect()
+    t_bf16 = timeit(jmv, w_el, dN_b, N_b, wdet_t, Cb)
+    del Cb
+    gc.collect()
     print(f"(a) matvec kernel: f32 {t_f32*1e3:.2f} ms  "
           f"bf16 {t_bf16*1e3:.2f} ms")
+
+    # cauchy storage (37 planes, the J2-family engine of record since r5)
+    lay = sw.cauchy_plane_layout(dim)
+    mv_c = sw.make_matvec_sweep(
+        dim=dim, nd=nd, n_q=n_q, n_el=n_el, rho=mat.density,
+        fac0=0.01, fac1_mu_v=0.0, has_visc=False, block_e=block_e,
+        c_storage="cauchy",
+    )
+    Cc = jnp.asarray(
+        rng.standard_normal((lay["n_plane"], n_q, n_el)), jnp.float32
+    )
+    jmv_c = jax.jit(mv_c)
+    t_cf = timeit(jmv_c, w_el, dN_t, N_t, wdet_t, Cc)
+    Ccb = Cc.astype(jnp.bfloat16)
+    t_cb = timeit(jmv_c, w_el, dN_b, N_b, wdet_t, Ccb)
+    del Ccb
+    gc.collect()
+    print(f"(a) matvec kernel cauchy-37: f32 {t_cf*1e3:.2f} ms  "
+          f"bf16 {t_cb*1e3:.2f} ms")
 
     # ---- (b) gather/scatter ----
     connT = jnp.asarray(np.ascontiguousarray(prob.conn.T))
@@ -156,6 +160,39 @@ def main():
             rng.standard_normal(n_dof * dim), jnp.float32
         )
         print(f"(c) fdm apply: {timeit(fa, v)*1e3:.2f} ms")
+        from mimi_tpu.solvers.fdm import (
+            build_contact_face_schur,
+            make_fdm_schur_apply,
+        )
+
+        schur = build_contact_face_schur(prob.fdm, f0, f1)
+        if schur is not None:
+            sa = jax.jit(
+                make_fdm_schur_apply(prob.fdm, schur, f0, f1, jnp.float32)
+            )
+            print(f"(c) fdm+schur apply: {timeit(sa, v)*1e3:.2f} ms")
+
+    # ---- (e) residual / assemble sweeps (the non-matvec step cost) ----
+    st0 = prob.state0
+    res = sw.make_residual_sweep(
+        mat=mat, dt=0.01, dim=dim, nd=nd, n_q=n_q, n_el=n_el,
+        rho=mat.density, mu_v=mat.viscosity, has_visc=True, state=st0,
+        block_e=block_e,
+    )
+    asm = sw.make_assemble_sweep(
+        mat=mat, dt=0.01, dim=dim, nd=nd, n_q=n_q, n_el=n_el,
+        rho=mat.density, mu_v=mat.viscosity, has_visc=True, state=st0,
+        block_e=block_e, c_dtype=jnp.bfloat16, c_storage="cauchy",
+    )
+    a_el = jnp.asarray(rng.standard_normal((dim, nd, n_el)), jnp.float32)
+    v_el = jnp.asarray(rng.standard_normal((dim, nd, n_el)), jnp.float32)
+    u_el = 0.001 * a_el
+    jres = jax.jit(res)
+    jasm = jax.jit(asm)
+    print(f"(e) residual sweep: "
+          f"{timeit(jres, u_el, a_el, v_el, st0, dN_t, N_t, wdet_t, n=10) * 1e3:.2f} ms")
+    print(f"(e) assemble sweep (cauchy bf16 C): "
+          f"{timeit(jasm, u_el, a_el, v_el, st0, dN_t, N_t, wdet_t, n=10) * 1e3:.2f} ms")
 
     # ---- (d) consistent contact tangent jvp ----
     cfns = sh._contact_fns_for(prob)

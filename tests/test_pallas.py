@@ -124,6 +124,31 @@ def test_pallas_sweeps_smoke():
     y_mv_c = mv_c(w_el, dN_t, N_t, wdet_t, Cc)
     assert float(jnp.abs(y_mv_c - y_mv_ref).max()) < 1e-3 * mv_scale
 
+    # sum-factorized matvec (make_matvec_sweep_sf): streams the 1D
+    # basis factors + per-qp Jinv instead of dense dN/N — must
+    # reproduce the same jvp (polynomial patch; VERDICT r4 #4 spike)
+    from mimi_tpu.nurbs.mesh_io import read_mfem_nurbs_mesh
+    from mimi_tpu.nurbs.topology import build_patch_from_mesh
+
+    mesh = read_mfem_nurbs_mesh(os.path.join(DATA, "cube-nurbs.mesh"))
+    patch, _, _ = build_patch_from_mesh(mesh)
+    patch.elevate_degrees(1)
+    patch.uniform_refine()
+    n_g = round(n_q ** (1 / 3))
+    tabs, jinv = sweeps.build_sf_tables(
+        patch, prob.x_ref, np.asarray(prob.conn), n_g, np.float32
+    )
+    mv_sf = sweeps.make_matvec_sweep_sf(
+        dim=dim, nd=nd, n_q=n_q, n_el=n_el, rho=rho, fac0=1.0,
+        fac1_mu_v=0.0, has_visc=False, block_e=8, interpret=True,
+        c_storage="cauchy", n_g=n_g, pp1=patch.degrees[0] + 1,
+    )
+    y_sf = mv_sf(
+        w_el, *[jnp.asarray(t) for t in tabs], jnp.asarray(jinv),
+        wdet_t, Cc,
+    )
+    assert float(jnp.abs(y_sf - y_mv_ref).max()) < 1e-3 * mv_scale
+
     # pin the major symmetry of the Voigt matrix D-hat = d sigma/d eps
     # the 21-plane tri storage relies on (consistent radial-return
     # tangent of associated J2: built from I, I(x)I, N(x)N — symmetric;

@@ -95,6 +95,10 @@ class Problem:
     # structured-grid info for slice-based gather/scatter (single
     # patch): {"spans", "nc", "pp1"}; None for multi-patch problems
     grid: dict | None = None
+    # sum-factorization factors for the pallas matvec (ops/sweeps.py
+    # build_sf_tables): {"tables": [B0,D0,B1,D1,B2,D2], "jinv", "n_g",
+    # "pp1"}; None when the basis is rational / non-3D / multi-patch
+    sf: dict | None = None
     # reference control-point coordinates (n_dof, dim), numpy
     x_ref: np.ndarray | None = None
 
@@ -285,6 +289,55 @@ def build_problem(
     mblocks = padel(mass_blocks)
     vblocks = padel(visc_blocks) if visc_blocks is not None else None
 
+    # sum-factorization factors for the pallas matvec (ops/sweeps.py
+    # make_matvec_sweep_sf): per-element 1D basis tables + per-qp
+    # dxi/dX.  Exact for polynomial bases only (rational quotients are
+    # not separable); requires the tensor grid, equal degrees, and a
+    # tensor quadrature.  Padded elements replicate element 0 (their
+    # w_detJ is 0, so their contribution is exactly zero — replication
+    # just keeps jinv finite).
+    sf = None
+    _n_g = round(n_q ** (1.0 / 3.0))
+    if (
+        grid is not None
+        and dim == 3
+        and masters is None
+        and len(set(fes.patch.degrees)) == 1
+        and _n_g**3 == n_q
+        and np.allclose(np.asarray(fes.patch.weights).ravel(), 1.0)
+    ):
+        try:
+            from ..ops.sweeps import build_sf_tables
+
+            _tabs, _jinv = build_sf_tables(
+                fes.patch,
+                fes.x_ref,
+                tables.conn,
+                _n_g,
+                np.float32 if dtype == jnp.float32 else np.float64,
+            )
+
+            def padlast(a):
+                if n_pad == 0:
+                    return a
+                reps = np.repeat(a[..., :1], n_pad, axis=-1)
+                return np.concatenate([a, reps], axis=-1)
+
+            sf = {
+                "tables": [padlast(t) for t in _tabs],
+                "jinv": padlast(_jinv),
+                "n_g": _n_g,
+                "pp1": fes.patch.degrees[0] + 1,
+            }
+        except Exception as e:  # pragma: no cover - diagnostics only
+            import sys as _sys
+
+            print(
+                f"# sum-factorization tables skipped: {e!r}",
+                file=_sys.stderr,
+            )
+            sf = None
+
     rho = min(max(rho_inf, 0.0), 1.0)
     am = (2.0 - rho) / (1.0 + rho)
     af = 1.0 / (1.0 + rho)
@@ -431,6 +484,7 @@ def build_problem(
         state_soa=state_soa,
         fdm=fdm,
         grid=grid,
+        sf=sf,
         x_ref=np.asarray(
             fes.x_ref if masters is None else fes.x_ref[masters]
         ),
@@ -702,6 +756,7 @@ def make_step(
     matvec_dtype: str = "f32",
     gmres_restart: int = 30,
     tangent_storage: str = "auto",
+    matvec_impl: str = "auto",
 ):
     """Fully jitted generalized-alpha step: carry -> carry.
 
@@ -743,6 +798,14 @@ def make_step(
     perturbs the Krylov operator by ~4e-3 relative, equivalent to a
     slightly more inexact Newton forcing.  Use with lin_rel_tol >=
     1e-3.
+
+    `matvec_impl` ("auto" default, "dense", "sf"; pallas engine): "sf"
+    streams the tensor-product FACTORS of the basis (per-element 1D
+    tables + per-qp dxi/dX, Problem.sf) instead of the dense dN/N in
+    the GMRES matvec — measured 3.99 ms vs 4.85 ms (dense bf16) per
+    apply at 48^3 with exact f32 streams (docs/ROADMAP.md lever 4).
+    "auto" uses it whenever the problem carries the factors (single 3D
+    polynomial patch, tensor quadrature).
 
     `gmres_restart` (default 30) is the Arnoldi restart length of the
     iterative solves (clamped to cg_iters).  Larger restarts preserve
@@ -892,6 +955,21 @@ def make_step(
             "matvec_dtype='bf16' is implemented for the pallas engine"
         )
     mv_bf16 = matvec_dtype == "bf16"
+    if matvec_impl not in ("auto", "dense", "sf"):
+        raise ValueError(f"unknown matvec_impl {matvec_impl!r}")
+    if matvec_impl == "sf" and (not use_pallas or prob.sf is None):
+        raise ValueError(
+            "matvec_impl='sf' needs the pallas engine and a problem "
+            "with sum-factorization tables (Problem.sf: single 3D "
+            "polynomial patch, tensor quadrature)"
+        )
+    # "auto": the sum-factorized matvec whenever the factors exist —
+    # measured faster than the dense kernel at every scale tried, with
+    # exact f32 table streams (docs/ROADMAP.md lever 4)
+    use_sf = use_pallas and (
+        matvec_impl == "sf"
+        or (matvec_impl == "auto" and prob.sf is not None)
+    )
     if lin_rel_tol is None:
         lin_rel_tol = 1e-8 if prob.rhs.dtype == jnp.float64 else 3e-6
     if lin_abs_tol is None:
@@ -971,7 +1049,7 @@ def make_step(
             c_dtype=jnp.bfloat16 if mv_bf16 else jnp.float32,
             c_storage=c_storage,
         )
-        _mv_sweep = _sweeps.make_matvec_sweep(
+        _mv_kw = dict(
             dim=dim,
             nd=int(prob.conn.shape[1]),
             n_q=prob.n_q,
@@ -984,6 +1062,16 @@ def make_step(
             interpret=_interpret,
             c_storage=c_storage,
         )
+        if use_sf:
+            # sum-factorized matvec (measured r5: 3.99 ms f32 vs 4.85
+            # dense bf16 at 48^3, exact f32 table streams — the dn/nn
+            # streams shrink ~9x and the bf16 Krylov perturbation of
+            # the dense path disappears; docs/ROADMAP.md lever 4)
+            _mv_sweep = _sweeps.make_matvec_sweep_sf(
+                **_mv_kw, n_g=prob.sf["n_g"], pp1=prob.sf["pp1"]
+            )
+        else:
+            _mv_sweep = _sweeps.make_matvec_sweep(**_mv_kw)
     elif residual_impl not in ("xla", "soa"):
         raise ValueError(f"unknown residual_impl {residual_impl!r}")
 
@@ -1035,7 +1123,13 @@ def make_step(
             # (nd, e) keeps the minor dims large (the (e, nd, dim)
             # scatter fused into a ~12 ms/GMRES-iteration monster at 32k)
             data["connT"] = dput(np.ascontiguousarray(prob.conn.T))
-        if use_pallas and mv_bf16:
+        if use_sf:
+            # sum-factorized matvec streams: 1D basis factors + per-qp
+            # dxi/dX instead of the dense dN/N (kept f32 — measured
+            # identical speed to bf16 factors, and exact)
+            data["sf_tabs"] = [dput(t) for t in prob.sf["tables"]]
+            data["sf_jinv"] = dput(prob.sf["jinv"])
+        elif use_pallas and mv_bf16:
             # half-width copies of the matvec kernel's table streams
             # (the kernel upcasts on load; f32 tables stay for the
             # residual/assemble sweeps)
@@ -1193,6 +1287,8 @@ def make_step(
             # matvec table streams (bf16 copies when matvec_dtype="bf16")
             dN_mv = d.get("dN_mv", dN_t)
             N_mv = d.get("N_mv", N_t)
+            sf_tabs = d.get("sf_tabs")
+            sf_jinv = d.get("sf_jinv")
             nd_s = int(prob.conn.shape[1])
             rho_s = mat.density
             mu_v = mat.viscosity if has_visc else 0.0
@@ -1468,9 +1564,15 @@ def make_step(
 
                     def J_apply(w_flat):
                         w = w_flat.reshape(n_dof, dim) * free
-                        y_t = _mv_sweep(
-                            gather_t(w), dN_mv, N_mv, wdet_t, Ck
-                        )
+                        if use_sf:
+                            y_t = _mv_sweep(
+                                gather_t(w), *sf_tabs, sf_jinv,
+                                wdet_t, Ck,
+                            )
+                        else:
+                            y_t = _mv_sweep(
+                                gather_t(w), dN_mv, N_mv, wdet_t, Ck
+                            )
                         y = scatter_mv(y_t)
                         if has_contact:
                             y = y + fac0 * c_tan(w)

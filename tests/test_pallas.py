@@ -355,6 +355,18 @@ def test_make_step_pallas_bf16_matvec_interpret():
     # ~1e-6; layout/indexing bugs would show at O(1))
     assert np.isfinite(outs["bf16"]).all()
     assert err < 2e-2 * max(scale, 1e-6), (err, scale)
+    # the auto path above used the sum-factorized matvec (prob.sf is
+    # built for this polynomial cube patch); the dense kernel must
+    # produce the same f32 step to quadrature roundoff
+    assert prob.sf is not None
+    step_d = sh.make_step(
+        prob, 0.05, newton_iters=1, solver="cg", cg_iters=8,
+        residual_impl="pallas", lin_rel_tol=1e-2, matvec_dtype="f32",
+        matvec_impl="dense",
+    )
+    u_d = np.asarray(step_d(sh.initial_carry(prob, dt=0.05))["u"])
+    err_sf = np.abs(outs["f32"] - u_d).max()
+    assert err_sf < 1e-5 * max(scale, 1e-6), (err_sf, scale)
 
 
 @slow

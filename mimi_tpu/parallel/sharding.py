@@ -527,29 +527,35 @@ def _structured_gather(u, dim, spans, pp1, nc, n_pad):
 
 def _structured_scatter(res_t, dim, spans, pp1, nc, n_dof, n_pad):
     """Transpose of _structured_gather: overlap-add of prod(pp1) shifted
-    slice blocks.  Padded elements carry exactly-zero contributions
-    (w_detJ = 0) and are dropped."""
+    slab blocks, written as a PAD-AND-SUM — each local-offset slab is
+    zero-padded to the full dof grid and the prod(pp1) same-shaped
+    tensors are summed, which XLA fuses into one elementwise kernel
+    (measured at 48^3, one chip, r5: 1.54 ms vs 5.45 for the previous
+    sequential .at[slice].add chain and 2.75 for the MXU conv variant —
+    and exact to the bit, parity 0.0).  Padded elements carry
+    exactly-zero contributions (w_detJ = 0) and are dropped."""
     n_real = int(np.prod(spans))
     vals = res_t[..., :n_real] if n_pad else res_t
-    y = jnp.zeros((dim, *nc[::-1]), res_t.dtype)
+    out = None
     for l, alphas in enumerate(_local_offsets(pp1)):
         block = vals[:, l, :].reshape((dim, *spans[::-1]))
-        idx = (slice(None),) + tuple(
-            slice(a, a + s) for a, s in zip(alphas[::-1], spans[::-1])
-        )
-        y = y.at[idx].add(block)
-    return y.reshape(dim, n_dof).T
+        pads = [(0, 0)] + [
+            (a, n - a - s)
+            for a, s, n in zip(alphas[::-1], spans[::-1], nc[::-1])
+        ]
+        p = jnp.pad(block, pads)
+        out = p if out is None else out + p
+    return out.reshape(dim, n_dof).T
 
 
 def _conv_scatter(res_t, dim, spans, pp1, nc, n_dof, n_pad):
     """The structured overlap-add as ONE transposed convolution with a
     delta-tap kernel (channel l = local offset l, axis-0 fastest, the
-    _local_offsets order): out[n+a] += res[l(a), n].  Measured ~2x the
-    slice-based scatter at 48^3 (2.8 vs 5.6 ms) — but XLA-TPU convs run
-    at the MXU's default bf16-input precision (~3e-3 relative), so this
-    is used ONLY inside the bf16-streamed Krylov operator
-    (matvec_dtype="bf16"), which already carries that perturbation.
-    Residual/assemble paths keep the exact slice scatter."""
+    _local_offsets order): out[n+a] += res[l(a), n].  RETIRED from the
+    step paths in round 5: it runs at the MXU's default bf16-input
+    precision (~3e-3 relative) and the pad-and-sum _structured_scatter
+    now beats it while being exact (measured 1.54 vs 2.75 ms at 48^3).
+    Kept as a reference implementation (tests pin its parity)."""
     from jax import lax
 
     d = len(spans)
@@ -1544,19 +1550,11 @@ def make_step(
                     r = scatter_el(res_t)
                     return _ctx_finish(r, {"Ck": Ck}, aa)
 
-                # matvec-path scatter: the conv overlap-add (~2x the
-                # slice scatter) when the Krylov operator is already
-                # bf16-perturbed; exact slice scatter otherwise
-                if structured and mv_bf16:
-
-                    def scatter_mv(res_t):
-                        return _conv_scatter(
-                            res_t, dim, _g["spans"], _g["pp1"],
-                            _g["nc"], n_dof, _n_pad,
-                        )
-
-                else:
-                    scatter_mv = scatter_el
+                # matvec-path scatter: _structured_scatter's pad-and-sum
+                # is now both the fastest AND exact (measured r5: 1.54 ms
+                # vs 2.75 for the bf16-gated MXU conv it retires), so
+                # every path shares it
+                scatter_mv = scatter_el
 
                 def solve_fn(ctx, r):
                     Ck = ctx["Ck"]

@@ -146,6 +146,164 @@ def _scatter_store(dim, nd, w, dn_ref, n_ref, P, vec, out_ref):
 
 
 
+def _sf_tiles(b_refs, d_refs, g0, g1, g2, p1):
+    """Tile the per-axis 1D basis tables (n_g, p+1, be) to full
+    (n_q, be) planes, matching the q = q0 + g0 q1 + g0 g1 q2 fast-axis-
+    first quadrature layout (fem/space.py:_tensor_basis_numpy)."""
+    f32 = jnp.float32
+
+    def tile0(tab, i):  # pattern repeats every g0 rows
+        sl = tab[:, i, :].astype(f32)
+        return jnp.concatenate([sl] * (g1 * g2), axis=0)
+
+    def tile1(tab, j):  # constant over g0, cycles with period g0*g1
+        sl = tab[:, j, :].astype(f32)
+        rep = jnp.repeat(sl, g0, axis=0)
+        return jnp.concatenate([rep] * g2, axis=0)
+
+    def tile2(tab, k):  # constant over g0*g1
+        sl = tab[:, k, :].astype(f32)
+        return jnp.repeat(sl, g0 * g1, axis=0)
+
+    b0r, b1r, b2r = b_refs
+    d0r, d1r, d2r = d_refs
+    return {
+        "0B": [tile0(b0r, i) for i in range(p1)],
+        "0D": [tile0(d0r, i) for i in range(p1)],
+        "1B": [tile1(b1r, j) for j in range(p1)],
+        "1D": [tile1(d1r, j) for j in range(p1)],
+        "2B": [tile2(b2r, k) for k in range(p1)],
+        "2D": [tile2(d2r, k) for k in range(p1)],
+    }
+
+
+def _sf_interp(w_ref, g, T, ji, dim, p1):
+    """Sum-factorized gradient + value interpolation of component g:
+    returns ([dF_phys[g][f] for f], vq[g]) from staged partial sums
+    over the tiled 1D factors T and the per-qp Jacobian inverse ji."""
+    nd = p1**3
+    w_g = [w_ref[g, n, :] for n in range(nd)]
+    s1B = {}
+    s1D = {}
+    for i in range(p1):
+        for j in range(p1):
+            accB = T["2B"][0] * w_g[i + p1 * j]
+            accD = T["2D"][0] * w_g[i + p1 * j]
+            for k in range(1, p1):
+                wn = w_g[i + p1 * j + p1 * p1 * k]
+                accB = accB + T["2B"][k] * wn
+                accD = accD + T["2D"][k] * wn
+            s1B[(i, j)] = accB
+            s1D[(i, j)] = accD
+    s2BB, s2DB, s2BD = {}, {}, {}
+    for i in range(p1):
+        aBB = T["1B"][0] * s1B[(i, 0)]
+        aDB = T["1D"][0] * s1B[(i, 0)]
+        aBD = T["1B"][0] * s1D[(i, 0)]
+        for j in range(1, p1):
+            aBB = aBB + T["1B"][j] * s1B[(i, j)]
+            aDB = aDB + T["1D"][j] * s1B[(i, j)]
+            aBD = aBD + T["1B"][j] * s1D[(i, j)]
+        s2BB[i] = aBB
+        s2DB[i] = aDB
+        s2BD[i] = aBD
+    d0 = T["0D"][0] * s2BB[0]
+    d1 = T["0B"][0] * s2DB[0]
+    d2_ = T["0B"][0] * s2BD[0]
+    vv = T["0B"][0] * s2BB[0]
+    for i in range(1, p1):
+        d0 = d0 + T["0D"][i] * s2BB[i]
+        d1 = d1 + T["0B"][i] * s2DB[i]
+        d2_ = d2_ + T["0B"][i] * s2BD[i]
+        vv = vv + T["0B"][i] * s2BB[i]
+    dFp = (d0, d1, d2_)
+    dF_g = [
+        sum(dFp[a] * ji[a][f] for a in range(dim)) for f in range(dim)
+    ]
+    return dF_g, vv
+
+
+def _sf_grad_value_interp(w_ref, T, ji, dim, p1):
+    """All components: (dF stacked (dim, dim, n_q, be), vq list)."""
+    rows, vq = [], []
+    for g in range(dim):
+        dF_g, vv = _sf_interp(w_ref, g, T, ji, dim, p1)
+        rows.append(dF_g)
+        vq.append(vv)
+    return _stack2(rows), vq
+
+
+def _sf_value_interp(w_ref, T, dim, p1):
+    """Value-only interpolation (B-channel staged sums)."""
+    out = []
+    for g in range(dim):
+        w_g = [w_ref[g, n, :] for n in range(p1**3)]
+        vv = None
+        for i in range(p1):
+            aBB = None
+            for j in range(p1):
+                accB = None
+                for k in range(p1):
+                    t = T["2B"][k] * w_g[i + p1 * j + p1 * p1 * k]
+                    accB = t if accB is None else accB + t
+                t = T["1B"][j] * accB
+                aBB = t if aBB is None else aBB + t
+            t = T["0B"][i] * aBB
+            vv = t if vv is None else vv + t
+        out.append(vv)
+    return out
+
+
+def _sf_scatter(out_ref, X, vecm, T, ji, w, dim, p1):
+    """Sum-factorized transpose scatter:
+    out[c, n] = sum_q dN_xi[n, a] Z[c, a] + N_xi[n] m[c]
+    with Z[c, a] = sum_f ji[a][f] (w X[c][f]), m[c] = w vecm[c]."""
+    for c in range(dim):
+        Z = [
+            sum(ji[a][f] * (w * X[c][f]) for f in range(dim))
+            for a in range(dim)
+        ]
+        m = w * vecm[c]
+        y0 = [[None] * p1 for _ in range(4)]
+        for ch, (Ti, src) in enumerate(
+            (
+                (T["0D"], Z[0]),
+                (T["0B"], Z[1]),
+                (T["0B"], Z[2]),
+                (T["0B"], m),
+            )
+        ):
+            for i in range(p1):
+                y0[ch][i] = Ti[i] * src
+        for j in range(p1):
+            y1 = [[None] * p1 for _ in range(4)]
+            for ch, Tj in enumerate((T["1B"], T["1D"], T["1B"], T["1B"])):
+                for i in range(p1):
+                    y1[ch][i] = Tj[j] * y0[ch][i]
+            for k in range(p1):
+                for i in range(p1):
+                    n = i + p1 * j + p1 * p1 * k
+                    tot = (
+                        T["2B"][k] * (y1[0][i] + y1[1][i] + y1[3][i])
+                        + T["2D"][k] * y1[2][i]
+                    )
+                    out_ref[c, n, :] = jnp.sum(tot, axis=0)
+
+
+def _sf_specs(dim, nd, n_q, n_g, p1, block_e):
+    """BlockSpecs for the sum-factorized table streams: six (n_g, p+1,
+    be) 1D tables + the (dim, dim, n_q, be) Jacobian inverse."""
+    t1d = pl.BlockSpec(
+        (n_g, p1, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    jis = pl.BlockSpec(
+        (dim, dim, n_q, block_e),
+        lambda i: (0, 0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    return [t1d] * 6 + [jis]
+
+
 def _common_specs(dim, nd, n_q, block_e, has_visc, state_leaves):
     """BlockSpecs for (u_el, a_el[, v_el], dN, N, wdet, *state)."""
     el3 = pl.BlockSpec(
@@ -179,19 +337,28 @@ def _common_specs(dim, nd, n_q, block_e, has_visc, state_leaves):
 
 def make_residual_sweep(
     mat, dt, dim, nd, n_q, n_el, rho, mu_v, has_visc, state,
-    block_e=None, interpret=False,
+    block_e=None, interpret=False, sf_mode=False, n_g=None, pp1=None,
 ):
     """Returns residual(u_el, a_el, v_el, state) -> y_el, all in the
     (dim, nd, n_el) element layout; state may be None.
 
     y_el[c, n, e] = sum_q w (dN[n,d] (P(F)[c,d] + mu_v dV[c,d])
                              + N[n] rho aq[c])
+
+    sf_mode=True streams the sum-factorization factors instead of the
+    dense dN/N tables (see make_matvec_sweep_sf; 3D polynomial patches
+    only); the wrapper signature becomes
+    residual(u_el, a_el, v_el, state_, b0, d0, b1, d1, b2, d2, jinv, wq).
     """
     import jax.tree_util as jtu
 
     block_e = block_e or pick_block_e(n_el)
     state_leaves, treedef = jtu.tree_flatten(state)
     n_state = len(state_leaves)
+    if sf_mode:
+        assert dim == 3 and n_g and pp1 and pp1**3 == nd
+    g0 = g1 = g2 = int(n_g) if sf_mode else 0
+    p1 = int(pp1) if sf_mode else 0
 
     def kernel(*refs):
         u_ref, a_ref = refs[0], refs[1]
@@ -200,30 +367,81 @@ def make_residual_sweep(
         if has_visc:
             v_ref = refs[idx]
             idx += 1
-        dn_ref, n_ref, w_ref = refs[idx : idx + 3]
-        idx += 3
+        if sf_mode:
+            b0r, d0r, b1r, d1r, b2r, d2r, ji_ref, w_ref = refs[
+                idx : idx + 8
+            ]
+            idx += 8
+        else:
+            dn_ref, n_ref, w_ref = refs[idx : idx + 3]
+            idx += 3
         state_refs = refs[idx : idx + n_state]
         out_ref = refs[-1]
 
         from ..fem import soa as _soa
 
-        # F = I + grad u via a diagonal shift: identity tensors (zero
-        # constant planes) crash Mosaic's layout pass under AD
-        F = _soa.add_diag(_grad_interp(dim, nd, u_ref, dn_ref), 1.0)
+        if sf_mode:
+            T = _sf_tiles(
+                (b0r, b1r, b2r), (d0r, d1r, d2r), g0, g1, g2, p1
+            )
+            ji = [
+                [ji_ref[a, f, :, :] for f in range(dim)]
+                for a in range(dim)
+            ]
+            gu, _ = _sf_grad_value_interp(u_ref, T, ji, dim, p1)
+            aq = _sf_value_interp(a_ref, T, dim, p1)
+            F = _soa.add_diag(gu, 1.0)
+        else:
+            # F = I + grad u via a diagonal shift: identity tensors
+            # (zero constant planes) crash Mosaic's layout pass under AD
+            F = _soa.add_diag(_grad_interp(dim, nd, u_ref, dn_ref), 1.0)
         st = jtu.tree_unflatten(treedef, [r[...] for r in state_refs])
         from ..materials import kernel_solver_mode
 
         with kernel_solver_mode():
             P = mat.pk1_soa(F, st, dt)
+        if sf_mode:
+            if has_visc:
+                dV, _ = _sf_grad_value_interp(v_ref, T, ji, dim, p1)
+                P = P + mu_v * dV
+            Pl = [[P[c, d] for d in range(dim)] for c in range(dim)]
+            _sf_scatter(
+                out_ref, Pl, [rho * a for a in aq], T, ji,
+                w_ref[:, :], dim, p1,
+            )
+            return
         if has_visc:
             P = P + mu_v * _grad_interp(dim, nd, v_ref, dn_ref)
         aq = _value_interp(dim, nd, a_ref, n_ref)
         vec = [rho * aq[c] for c in range(dim)]
         _scatter_store(dim, nd, w_ref[:, :], dn_ref, n_ref, P, vec, out_ref)
 
-    specs, el3 = _common_specs(
-        dim, nd, n_q, block_e, has_visc, state_leaves
-    )
+    if sf_mode:
+        el3 = pl.BlockSpec(
+            (dim, nd, block_e),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        wq_s = pl.BlockSpec(
+            (n_q, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        specs = [el3, el3] + ([el3] if has_visc else [])
+        specs += _sf_specs(dim, nd, n_q, g0, p1, block_e) + [wq_s]
+        for leaf in state_leaves:
+            if leaf.ndim == 4:
+                specs.append(
+                    pl.BlockSpec(
+                        (leaf.shape[0], leaf.shape[1], n_q, block_e),
+                        lambda i: (0, 0, 0, i),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+            else:
+                specs.append(wq_s)
+    else:
+        specs, el3 = _common_specs(
+            dim, nd, n_q, block_e, has_visc, state_leaves
+        )
     call = pl.pallas_call(
         kernel,
         grid=(n_el // block_e,),
@@ -236,6 +454,14 @@ def make_residual_sweep(
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
+    if sf_mode:
+
+        def residual_full(u_el, a_el, v_el, state_, *sf_args):
+            args = [u_el, a_el] + ([v_el] if has_visc else [])
+            return call(*args, *sf_args, *jtu.tree_leaves(state_))
+
+        return residual_full
+
     def residual_full(u_el, a_el, v_el, state_, dn, nn, wq):
         args = [u_el, a_el] + ([v_el] if has_visc else [])
         return call(*args, dn, nn, wq, *jtu.tree_leaves(state_))
@@ -246,7 +472,7 @@ def make_residual_sweep(
 def make_assemble_sweep(
     mat, dt, dim, nd, n_q, n_el, rho, mu_v, has_visc, state,
     block_e=None, interpret=False, c_dtype=jnp.float32,
-    c_storage="full",
+    c_storage="full", sf_mode=False, n_g=None, pp1=None,
 ):
     """Residual + per-qp consistent tangent C[c*dim+d, g*dim+f](q, e) via
     jax.linearize with one-hot seeds, fused in one pass.
@@ -279,6 +505,11 @@ def make_assemble_sweep(
     state_leaves, treedef = jtu.tree_flatten(state)
     n_state = len(state_leaves)
 
+    if sf_mode:
+        assert dim == 3 and n_g and pp1 and pp1**3 == nd
+    g0 = g1 = g2 = int(n_g) if sf_mode else 0
+    p1 = int(pp1) if sf_mode else 0
+
     def kernel(*refs):
         u_ref, a_ref = refs[0], refs[1]
         idx = 2
@@ -286,14 +517,32 @@ def make_assemble_sweep(
         if has_visc:
             v_ref = refs[idx]
             idx += 1
-        dn_ref, n_ref, w_ref = refs[idx : idx + 3]
-        idx += 3
+        T = ji = dn_ref = n_ref = None
+        if sf_mode:
+            b0r, d0r, b1r, d1r, b2r, d2r, ji_ref, w_ref = refs[
+                idx : idx + 8
+            ]
+            idx += 8
+            T = _sf_tiles(
+                (b0r, b1r, b2r), (d0r, d1r, d2r), g0, g1, g2, p1
+            )
+            ji = [
+                [ji_ref[a, f, :, :] for f in range(dim)]
+                for a in range(dim)
+            ]
+        else:
+            dn_ref, n_ref, w_ref = refs[idx : idx + 3]
+            idx += 3
         state_refs = refs[idx : idx + n_state]
         out_ref, c_ref = refs[-2], refs[-1]
 
         from ..fem import soa as _soa
 
-        F = _soa.add_diag(_grad_interp(dim, nd, u_ref, dn_ref), 1.0)
+        if sf_mode:
+            gu, _ = _sf_grad_value_interp(u_ref, T, ji, dim, p1)
+            F = _soa.add_diag(gu, 1.0)
+        else:
+            F = _soa.add_diag(_grad_interp(dim, nd, u_ref, dn_ref), 1.0)
         st = jtu.tree_unflatten(treedef, [r[...] for r in state_refs])
         from ..materials import kernel_solver_mode
 
@@ -398,6 +647,19 @@ def make_assemble_sweep(
                                     tri[(a, b)], :, :
                                 ] + (0.5 * x).astype(c_dtype)
         P_eff = P
+        if sf_mode:
+            if has_visc:
+                dV, _ = _sf_grad_value_interp(v_ref, T, ji, dim, p1)
+                P_eff = P + mu_v * dV
+            aq = _sf_value_interp(a_ref, T, dim, p1)
+            Pl = [
+                [P_eff[c, d] for d in range(dim)] for c in range(dim)
+            ]
+            _sf_scatter(
+                out_ref, Pl, [rho * a_ for a_ in aq], T, ji,
+                w_ref[:, :], dim, p1,
+            )
+            return
         if has_visc:
             P_eff = P + mu_v * _grad_interp(dim, nd, v_ref, dn_ref)
         aq = _value_interp(dim, nd, a_ref, n_ref)
@@ -406,9 +668,32 @@ def make_assemble_sweep(
             dim, nd, w_ref[:, :], dn_ref, n_ref, P_eff, vec, out_ref
         )
 
-    specs, el3 = _common_specs(
-        dim, nd, n_q, block_e, has_visc, state_leaves
-    )
+    if sf_mode:
+        el3 = pl.BlockSpec(
+            (dim, nd, block_e),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        wq_s = pl.BlockSpec(
+            (n_q, block_e), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        specs = [el3, el3] + ([el3] if has_visc else [])
+        specs += _sf_specs(dim, nd, n_q, g0, p1, block_e) + [wq_s]
+        for leaf in state_leaves:
+            if leaf.ndim == 4:
+                specs.append(
+                    pl.BlockSpec(
+                        (leaf.shape[0], leaf.shape[1], n_q, block_e),
+                        lambda i: (0, 0, 0, i),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+            else:
+                specs.append(wq_s)
+    else:
+        specs, el3 = _common_specs(
+            dim, nd, n_q, block_e, has_visc, state_leaves
+        )
     if sym or cauchy:
         n_pl = lay["n_plane"] if cauchy else n_tri
         c_spec = pl.BlockSpec(
@@ -438,6 +723,14 @@ def make_assemble_sweep(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
+
+    if sf_mode:
+
+        def assemble_full(u_el, a_el, v_el, state_, *sf_args):
+            args = [u_el, a_el] + ([v_el] if has_visc else [])
+            return call(*args, *sf_args, *jtu.tree_leaves(state_))
+
+        return assemble_full
 
     def assemble_full(u_el, a_el, v_el, state_, dn, nn, wq):
         args = [u_el, a_el] + ([v_el] if has_visc else [])
@@ -673,121 +966,19 @@ def make_matvec_sweep_sf(
 
     def kernel(w_ref, b0r, d0r, b1r, d1r, b2r, d2r, ji_ref, wq_ref,
                c_ref, out_ref):
-        f32 = jnp.float32
-
-        # ---- tile the 1D tables to full (n_q, be) planes ----
-        # q = q0 + g0 q1 + g0 g1 q2 (axis-0 gauss fastest)
-        def tile0(tab, i):  # pattern repeats every g0 rows
-            sl = tab[:, i, :].astype(f32)  # (g0, be)
-            return jnp.concatenate([sl] * (g1 * g2), axis=0)
-
-        def tile1(tab, j):  # constant over g0, cycles with period g0*g1
-            sl = tab[:, j, :].astype(f32)
-            rep = jnp.repeat(sl, g0, axis=0)  # (g0*g1, be)
-            return jnp.concatenate([rep] * g2, axis=0)
-
-        def tile2(tab, k):  # constant over g0*g1
-            sl = tab[:, k, :].astype(f32)
-            return jnp.repeat(sl, g0 * g1, axis=0)
-
-        T0B = [tile0(b0r, i) for i in range(p1)]
-        T0D = [tile0(d0r, i) for i in range(p1)]
-        T1B = [tile1(b1r, j) for j in range(p1)]
-        T1D = [tile1(d1r, j) for j in range(p1)]
-        T2B = [tile2(b2r, k) for k in range(p1)]
-        T2D = [tile2(d2r, k) for k in range(p1)]
-
+        T = _sf_tiles((b0r, b1r, b2r), (d0r, d1r, d2r), g0, g1, g2, p1)
         ji = [
             [ji_ref[a, f, :, :] for f in range(dim)] for a in range(dim)
         ]
-
-        # ---- forward: dF_param, vq via staged partial sums ----
-        dFp = [[None] * dim for _ in range(dim)]
-        vq = [None] * dim
-        for g in range(dim):
-            w_g = [w_ref[g, n, :] for n in range(nd)]
-            s1B = {}
-            s1D = {}
-            for i in range(p1):
-                for j in range(p1):
-                    accB = T2B[0] * w_g[i + p1 * j]
-                    accD = T2D[0] * w_g[i + p1 * j]
-                    for k in range(1, p1):
-                        wn = w_g[i + p1 * j + p1 * p1 * k]
-                        accB = accB + T2B[k] * wn
-                        accD = accD + T2D[k] * wn
-                    s1B[(i, j)] = accB
-                    s1D[(i, j)] = accD
-            s2BB = {}
-            s2DB = {}
-            s2BD = {}
-            for i in range(p1):
-                aBB = T1B[0] * s1B[(i, 0)]
-                aDB = T1D[0] * s1B[(i, 0)]
-                aBD = T1B[0] * s1D[(i, 0)]
-                for j in range(1, p1):
-                    aBB = aBB + T1B[j] * s1B[(i, j)]
-                    aDB = aDB + T1D[j] * s1B[(i, j)]
-                    aBD = aBD + T1B[j] * s1D[(i, j)]
-                s2BB[i] = aBB
-                s2DB[i] = aDB
-                s2BD[i] = aBD
-            d0 = T0D[0] * s2BB[0]
-            d1 = T0B[0] * s2DB[0]
-            d2_ = T0B[0] * s2BD[0]
-            vv = T0B[0] * s2BB[0]
-            for i in range(1, p1):
-                d0 = d0 + T0D[i] * s2BB[i]
-                d1 = d1 + T0B[i] * s2DB[i]
-                d2_ = d2_ + T0B[i] * s2BD[i]
-                vv = vv + T0B[i] * s2BB[i]
-            dFp[g][0], dFp[g][1], dFp[g][2] = d0, d1, d2_
-            vq[g] = vv
-
-        # dF = dF_param . Jinv  (dN/dX = dN/dxi . dxi/dX)
-        dF = _stack2(
-            [
-                [
-                    sum(dFp[g][a] * ji[a][f] for a in range(dim))
-                    for f in range(dim)
-                ]
-                for g in range(dim)
-            ]
-        )
-
+        dF, vq = _sf_grad_value_interp(w_ref, T, ji, dim, p1)
         dP = _tangent_apply(
             c_ref, dF, dim, fac0, fac1_mu_v, has_visc, c_storage,
             lay, tri,
         )
-
-        # ---- transpose: out[c,n] = sum_q dN_xi[n,a] Z[c,a] + N m[c] ----
-        w = wq_ref[:, :]
-        for c in range(dim):
-            Z = [
-                sum(ji[a][f] * (w * dP[c][f]) for f in range(dim))
-                for a in range(dim)
-            ]
-            m = w * (rho * vq[c])
-            # channels: (D,B,B)->Z0, (B,D,B)->Z1, (B,B,D)->Z2, (B,B,B)->m
-            y0 = [[None] * p1 for _ in range(4)]  # per channel, per i
-            for ch, (Ti, src) in enumerate(
-                ((T0D, Z[0]), (T0B, Z[1]), (T0B, Z[2]), (T0B, m))
-            ):
-                for i in range(p1):
-                    y0[ch][i] = Ti[i] * src
-            for j in range(p1):
-                y1 = [[None] * p1 for _ in range(4)]
-                for ch, Tj in enumerate((T1B, T1D, T1B, T1B)):
-                    for i in range(p1):
-                        y1[ch][i] = Tj[j] * y0[ch][i]
-                for k in range(p1):
-                    for i in range(p1):
-                        n = i + p1 * j + p1 * p1 * k
-                        tot = (
-                            T2B[k] * (y1[0][i] + y1[1][i] + y1[3][i])
-                            + T2D[k] * y1[2][i]
-                        )
-                        out_ref[c, n, :] = jnp.sum(tot, axis=0)
+        _sf_scatter(
+            out_ref, dP, [rho * v for v in vq], T, ji, wq_ref[:, :],
+            dim, p1,
+        )
 
     el3 = pl.BlockSpec(
         (dim, nd, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM

@@ -1046,14 +1046,21 @@ def make_step(
         )
         # per-kernel VMEM budgets: the assemble's linearize replay holds
         # the most live planes, the matvec adds the (81, q, be) C block
+        _sf_kw = (
+            dict(sf_mode=True, n_g=prob.sf["n_g"], pp1=prob.sf["pp1"])
+            if use_sf
+            else {}
+        )
         _res_sweep = _sweeps.make_residual_sweep(
-            **_sw_args, block_e=_sweeps.pick_block_e(prob.n_el, 128)
+            **_sw_args, block_e=_sweeps.pick_block_e(prob.n_el, 128),
+            **_sf_kw,
         )
         _asm_sweep = _sweeps.make_assemble_sweep(
             **_sw_args,
             block_e=_sweeps.pick_block_e(prob.n_el, 128),
             c_dtype=jnp.bfloat16 if mv_bf16 else jnp.float32,
             c_storage=c_storage,
+            **_sf_kw,
         )
         _mv_kw = dict(
             dim=dim,
@@ -1407,9 +1414,15 @@ def make_step(
                     v_el = (
                         gather_t(va + fac1 * aa) if has_visc else None
                     )
-                    res_t = _res_sweep(
-                        u_el, a_el, v_el, state, dN_t, N_t, wdet_t
-                    )
+                    if use_sf:
+                        res_t = _res_sweep(
+                            u_el, a_el, v_el, state, *sf_tabs,
+                            sf_jinv, wdet_t,
+                        )
+                    else:
+                        res_t = _res_sweep(
+                            u_el, a_el, v_el, state, dN_t, N_t, wdet_t
+                        )
                     y = scatter_el(res_t)
                     if has_contact:
                         y = y + contact_residual(xa + fac0 * aa)
@@ -1544,9 +1557,15 @@ def make_step(
                     v_el = (
                         gather_t(va + fac1 * aa) if has_visc else None
                     )
-                    res_t, Ck = _asm_sweep(
-                        u_el, a_el, v_el, state, dN_t, N_t, wdet_t
-                    )
+                    if use_sf:
+                        res_t, Ck = _asm_sweep(
+                            u_el, a_el, v_el, state, *sf_tabs,
+                            sf_jinv, wdet_t,
+                        )
+                    else:
+                        res_t, Ck = _asm_sweep(
+                            u_el, a_el, v_el, state, dN_t, N_t, wdet_t
+                        )
                     r = scatter_el(res_t)
                     return _ctx_finish(r, {"Ck": Ck}, aa)
 

@@ -149,6 +149,28 @@ def test_pallas_sweeps_smoke():
     )
     assert float(jnp.abs(y_sf - y_mv_ref).max()) < 1e-3 * mv_scale
 
+    # sum-factorized residual + assemble sweeps (sf_mode=True): same
+    # y/C as the dense-table kernels
+    sf_args = [jnp.asarray(t) for t in tabs] + [jnp.asarray(jinv)]
+    res_sf = sweeps.make_residual_sweep(
+        **kw, sf_mode=True, n_g=n_g, pp1=patch.degrees[0] + 1
+    )
+    y_rsf = res_sf(u_el, a_el, None, state, *sf_args, wdet_t)
+    assert float(jnp.abs(y_rsf - y_ref).max()) < 1e-4 * scale
+    asm_sf = sweeps.make_assemble_sweep(
+        **kw, c_storage="cauchy", sf_mode=True, n_g=n_g,
+        pp1=patch.degrees[0] + 1,
+    )
+    y_asf, Cc_sf = asm_sf(u_el, a_el, None, state, *sf_args, wdet_t)
+    assert float(jnp.abs(y_asf - y_ref).max()) < 1e-4 * scale
+    c_err = float(
+        jnp.abs(
+            Cc_sf.astype(jnp.float32) - Cc.astype(jnp.float32)
+        ).max()
+    )
+    c_scale = float(jnp.abs(Cc).max())
+    assert c_err < 1e-4 * c_scale, (c_err, c_scale)
+
     # pin the major symmetry of the Voigt matrix D-hat = d sigma/d eps
     # the 21-plane tri storage relies on (consistent radial-return
     # tangent of associated J2: built from I, I(x)I, N(x)N — symmetric;

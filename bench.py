@@ -632,6 +632,45 @@ def main():
 
     p_n_el, p_n_q, wall = _bench_primary()
     gc.collect()
+
+    # platform-sanity reference: one small fixed-cost kernel (the
+    # pad-and-sum structured scatter at the north-star size, measured
+    # 1.5-2.3 ms on a healthy chip).  Observed live (r5, 2026-08-19):
+    # the hosted platform intermittently runs LONG step executables
+    # ~6.5x slow while small kernels stay at full speed — with this
+    # number in the record, a slow primary_s_per_step alongside a
+    # normal ref_scatter_ms identifies platform throttling rather than
+    # a code regression (evidence: the identical cached executable
+    # measured 0.529 s/step and 3.46 s/step 30 minutes apart).
+    try:
+        import numpy as _np
+
+        from mimi_tpu.parallel.sharding import _structured_scatter
+
+        _sp = [spans if spans > 0 else 2**subdiv] * 3
+        _nc = [s + 2 for s in _sp]
+        _r = jnp.asarray(
+            _np.random.default_rng(0).standard_normal(
+                (3, 27, _sp[0] * _sp[1] * _sp[2])
+            ),
+            jnp.float32,
+        )
+        _f = jax.jit(
+            lambda r: _structured_scatter(
+                r, 3, _sp, [3, 3, 3], _nc,
+                _nc[0] * _nc[1] * _nc[2], 0,
+            )
+        )
+        _f(_r).block_until_ready()
+        _t0 = time.perf_counter()
+        for _ in range(20):
+            _o = _f(_r)
+        float(_o.sum())
+        extra_ref_ms = (time.perf_counter() - _t0) / 20 * 1e3
+        del _r, _o
+        gc.collect()
+    except Exception:
+        extra_ref_ms = -1.0
     qp_total = p_n_el * p_n_q
     per_step = wall / n_steps
     evals_per_sec = qp_total * RES_EVALS_PER_STEP / per_step
@@ -647,7 +686,11 @@ def main():
         vs_baseline = evals_per_sec / float(anchor["cpu_qp_evals_per_sec"])
         vs_src = "anchor:" + anchor.get("config", "bench_anchor.json")
 
-    extra = {"primary_s_per_step": per_step, "vs_baseline_source": vs_src}
+    extra = {
+        "primary_s_per_step": per_step,
+        "vs_baseline_source": vs_src,
+        "ref_scatter_ms": extra_ref_ms,
+    }
     if cpu_fallback:
         extra["platform"] = "cpu-fallback (TPU tunnel down at bench time)"
     record = {

@@ -235,7 +235,15 @@ def _cached_build(tag, builder, material, key_parts=""):
         try:
             with open(path, "rb") as f:
                 d = pickle.load(f)
-            for k in _PROB_DEVICE_FIELDS:
+            # Reproduce a FRESH build's field types exactly: state0 and
+            # the contact dicts are jnp trees; the table fields stay
+            # NUMPY.  Blanket-converting tables to jax.Array sent
+            # make_step down its sharded-problem branch, whose
+            # jnp.transpose is a logical view — the step executable
+            # then physically re-laid-out ~3 GB of tables EVERY call
+            # (measured 6.5x step slowdown at 48^3, cache-hit runs
+            # only; fixed r5 after a fresh-vs-cached A/B isolated it).
+            for k in ("state0", "contact"):
                 d[k] = jax.tree.map(jnp.asarray, d[k])
             material.setup(d["dim"])
             d["material"] = material

@@ -1118,7 +1118,11 @@ def make_step(
         # batch-last tables in (q, e) order — elements on lanes, quads on
         # sublanes: zero tile padding and per-element scalars broadcast
         # along sublanes (see fem/soa.py state_to_soa)
-        if isinstance(prob.dN_dX, jax.Array):
+        _multi_dev = (
+            isinstance(prob.dN_dX, jax.Array)
+            and len(prob.dN_dX.sharding.device_set) > 1
+        )
+        if _multi_dev:
             # sharded problem: transposes propagate the sharding (the
             # element axis moves to the batch-last position)
             data["dN_t"] = jnp.transpose(prob.dN_dX, (2, 3, 1, 0))

@@ -31,7 +31,9 @@ elements — large enough to amortize CPU fixed costs; see that file for
 the measured 512->4096 per-qp scaling) unless a live CPU measurement
 fits the budget, in which case the live number is used and labeled.
 
-Budgets: MIMI_BENCH_BUDGET_S (default 480) caps the optional sections;
+Budgets: MIMI_BENCH_BUDGET_S (default 600) caps the optional sections
+(parity runs before the contact sweep: it is ~4x cheaper warm, so the
+cheap section is never starved by the expensive one);
 a section is skipped (and says so in extras) when the remaining budget
 is below its historical cost.  The primary section is never skipped.
 """
@@ -66,7 +68,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 T_START = time.perf_counter()
-BUDGET_S = float(os.environ.get("MIMI_BENCH_BUDGET_S", "480"))
+BUDGET_S = float(os.environ.get("MIMI_BENCH_BUDGET_S", "600"))
 
 
 def _remaining():
@@ -717,6 +719,23 @@ def main():
 
     # ---- optional sections, each under the remaining wall budget ----
 
+    # TPU-mode pallas-vs-soa numerical parity at real (non-interpret)
+    # Mosaic block sizes (in-tree tests only run the kernels in
+    # interpret mode on CPU).  ~40 s warm-cache.
+    if on_tpu and os.environ.get("MIMI_BENCH_PARITY", "1") != "0":
+        if _remaining() > 60.0:
+            try:
+                _phase("pallas parity check")
+                p_err, p_ok = _pallas_parity_check(16, step_kwargs)
+                extra["pallas_parity_max_abs"] = p_err
+                extra["pallas_parity_ok"] = p_ok
+            except Exception as e:
+                print(f"# pallas parity check failed: {e}", file=sys.stderr)
+                extra["pallas_parity_ok"] = False
+            gc.collect()
+        else:
+            extra["pallas_parity_skipped"] = "wall budget"
+
     # the BASELINE.json headline config: the 1e5-element CONTACT sweep.
     # Historical cost ~60 s warm-cache (compile fetch + engage + 5
     # steps at ~2 s/step).
@@ -749,23 +768,6 @@ def main():
             gc.collect()  # free the contact problem's device arrays
         else:
             extra["contact_skipped"] = "wall budget"
-
-    # TPU-mode pallas-vs-soa numerical parity at real (non-interpret)
-    # Mosaic block sizes (in-tree tests only run the kernels in
-    # interpret mode on CPU).  ~40 s warm-cache.
-    if on_tpu and os.environ.get("MIMI_BENCH_PARITY", "1") != "0":
-        if _remaining() > 60.0:
-            try:
-                _phase("pallas parity check")
-                p_err, p_ok = _pallas_parity_check(16, step_kwargs)
-                extra["pallas_parity_max_abs"] = p_err
-                extra["pallas_parity_ok"] = p_ok
-            except Exception as e:
-                print(f"# pallas parity check failed: {e}", file=sys.stderr)
-                extra["pallas_parity_ok"] = False
-            gc.collect()
-        else:
-            extra["pallas_parity_skipped"] = "wall budget"
 
     # live host-CPU baseline (same compiled algorithm, small mesh,
     # per-qp comparison).  XLA-CPU compiles locally; with the

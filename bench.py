@@ -69,10 +69,16 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 T_START = time.perf_counter()
 BUDGET_S = float(os.environ.get("MIMI_BENCH_BUDGET_S", "600"))
+# optional-section budget anchor: reset right after the primary record
+# is emitted, so a slow primary compile (the remote compile/fetch phase
+# has measured anywhere from 130 s to 1150 s for the SAME cached HLO —
+# tunnel-dependent) cannot starve the cheap parity/contact sections
+T_OPT = [None]
 
 
 def _remaining():
-    return BUDGET_S - (time.perf_counter() - T_START)
+    anchor = T_OPT[0] if T_OPT[0] is not None else T_START
+    return BUDGET_S - (time.perf_counter() - anchor)
 
 
 def _phase(msg):
@@ -716,6 +722,8 @@ def main():
     # THE RECORD: printed now so a wall-budget kill during the optional
     # sections below cannot erase the primary measurement.
     _emit(record, final=False)
+    T_OPT[0] = time.perf_counter()  # optional sections get their own
+    # budget window from here (see T_OPT comment at top)
 
     # ---- optional sections, each under the remaining wall budget ----
 

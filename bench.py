@@ -649,15 +649,14 @@ def main():
     p_n_el, p_n_q, wall = _bench_primary()
     gc.collect()
 
-    # platform-sanity reference: one small fixed-cost kernel (the
-    # pad-and-sum structured scatter at the north-star size, measured
-    # 1.5-2.3 ms on a healthy chip).  Observed live (r5, 2026-08-19):
-    # the hosted platform intermittently runs LONG step executables
-    # ~6.5x slow while small kernels stay at full speed — with this
-    # number in the record, a slow primary_s_per_step alongside a
-    # normal ref_scatter_ms identifies platform throttling rather than
-    # a code regression (evidence: the identical cached executable
-    # measured 0.529 s/step and 3.46 s/step 30 minutes apart).
+    # sanity reference: one small fixed-cost kernel (the pad-and-sum
+    # structured scatter at the north-star size, ~1.5-2.3 ms healthy).
+    # A slow primary_s_per_step next to a normal ref_scatter_ms means
+    # something step-specific is wrong (per-call relayout, tunnel
+    # stall, genuine platform throttle) rather than a kernel-level
+    # regression — exactly the signature that isolated the cache-hit
+    # table-layout bug this record format was born from (identical
+    # cached executable: 0.529 vs 3.46 s/step; BASELINE.md round 5).
     try:
         import numpy as _np
 
